@@ -1,0 +1,96 @@
+"""Golden tests for the byte-identical text-extraction contract (SURVEY.md §5.2 #1)."""
+
+import ast
+import re
+from pathlib import Path
+
+import pytest
+
+from folkscope_spark.textnorm import URL_REGEX, clean_text, split_long_text, split_sentences
+
+REF_UTILS = Path("/root/reference/src/pattern/utils.py")
+
+
+def _reference_url_pattern() -> str:
+    """Extract the URL regex string literal from the reference source (no import —
+    the reference module pulls in stanfordnlp at import time)."""
+    src = REF_UTILS.read_text()
+    tree = ast.parse(src)
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Assign):
+            for tgt in node.targets:
+                if isinstance(tgt, ast.Name) and tgt.id == "URL_REGEX":
+                    call = node.value
+                    return ast.literal_eval(call.args[0])
+    raise AssertionError("URL_REGEX literal not found in reference source")
+
+
+@pytest.mark.skipif(not REF_UTILS.exists(), reason="reference not mounted")
+def test_url_regex_byte_identical_to_reference():
+    assert URL_REGEX.pattern == _reference_url_pattern()
+
+
+def _reference_clean(text: str) -> str:
+    """The reference cleaner re-executed literally (utils.py:195-214) as oracle."""
+    ref_url = re.compile(_reference_url_pattern(), re.IGNORECASE)
+    text = re.sub(r"[^\x00-\x7F]+", " ", text)
+    text = re.sub(r"<ref(.*?)>", "<ref>", text)
+    text = re.sub(ref_url, "<url>", text)
+    text = re.sub(r"<url>[\(\)\[\]]*<url>", "<url>", text)
+    return text.strip()
+
+
+ADVERSARIAL = [
+    "plain ascii text stays untouched",
+    "unicodeéè runs你好 collapse   to spaces",
+    "see <ref name=x attr='y'> and <ref> markers",
+    "visit https://example.com/path?q=1 for info",
+    "bare domain example.com and example.org/page too",
+    "paired (http://a.com/x)(http://b.net/y) urls",
+    "trailing spaces and unicode ’ quote   ",
+    "parens url http://en.wikipedia.org/wiki/Spark_(software) kept whole",
+    "email not@a.url.com should not fully match the mailto part",
+    "mixed: über cool site www.test.de/page <ref foo> end.",
+    "",
+    "   ",
+    "<url>[]<url> already-collapsed pair",
+    "tab\tand\nnewline survive (ascii)",
+]
+
+
+@pytest.mark.parametrize("text", ADVERSARIAL)
+def test_clean_text_byte_identical(text):
+    assert clean_text(text) == _reference_clean(text)
+
+
+def test_split_sentences_basic():
+    assert split_sentences("One fish. Two fish! Red fish? Blue fish") == [
+        "One fish.",
+        "Two fish!",
+        "Red fish?",
+        "Blue fish",
+    ]
+
+
+def test_split_sentences_newlines():
+    assert split_sentences("para one line.\n\npara two line.") == [
+        "para one line.",
+        "para two line.",
+    ]
+
+
+def test_split_long_text_short_passthrough():
+    assert split_long_text("short") == ["short"]
+
+
+def test_split_long_text_respects_cap():
+    text = ("word " * 600).strip()  # ~3000 chars, no sentence bounds
+    parts = split_long_text(text, max_len=100)
+    assert all(len(p) <= 100 for p in parts)
+    assert " ".join(parts) == text
+
+
+def test_split_long_text_paragraphs_first():
+    a = "a" * 700
+    b = "b" * 700
+    assert split_long_text(f"{a}\n\n{b}", max_len=1024) == [a, b]
