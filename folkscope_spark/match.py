@@ -1,0 +1,223 @@
+"""Pattern matching + eventuality extraction (O1/O2/O5/O6, SURVEY.md §3.3).
+
+Spark-first port of the reference match sweep
+(``/root/reference/src/pattern/pattern_match.py:63-236``): the tiny pattern
+dictionary (with its subsumption hierarchy) is broadcast; sentences stream
+through ``mapInPandas`` in Arrow batches; per sentence the patterns are tried
+in the reference's structural descending order with the bitmask
+hierarchy short-circuit (``pattern_match.py:65,84-86,210-218``), the
+clause-separator veto (``:96-118``), the OPTIONAL-modifier closure
+(``:123-133``), and eventuality assembly with the eid byte-contract
+(``:135-160``, ``object.py:360-418``).  Per-sentence eid dedupe matches
+``:152-160``.
+
+Nothing here shuffles: the stage is a pure map over the parsed table; the
+only shuffle in the whole extraction path is the later ``groupBy(eid)`` merge.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from .eventuality import build_eventuality
+from .graphs import DiGraph, construct_pattern, get_subisomorphisms, graph_of
+from .relations import OPTIONAL_POS_TAGS
+from .schemas import EVENTUALITIES
+
+
+def _sentence_separators(pos_tags: list[str]) -> list[int]:
+    """Clause separator positions (pattern_match.py:96-101)."""
+    seps = []
+    for i, t in enumerate(pos_tags):
+        if t == "WRB" or t.startswith("WP") or t in (";", ".", "?", "!"):
+            seps.append(i)
+    return seps
+
+
+def _crosses_separator(subiso: list[int], seps: list[int]) -> bool:
+    """A match may not span a clause separator (pattern_match.py:102-118):
+    matched indices must all be strictly on one side of every separator."""
+    for sep in seps:
+        below = any(i < sep for i in subiso)
+        above = any(i > sep for i in subiso)
+        on = any(i == sep for i in subiso)
+        if (below and above) or on:
+            return True
+    return False
+
+
+def _optional_closure(
+    subiso_set: set[int], deps: list[tuple[int, str, int]], pos_tags: list[str]
+) -> set[int]:
+    """Fixed-point closure pulling in OPTIONAL-POS modifiers reachable from the
+    match (pattern_match.py:123-133)."""
+    optional: set[int] = set()
+    changed = True
+    while changed:
+        changed = False
+        for g, _, d in deps:
+            if (
+                (g in subiso_set or g in optional)
+                and d not in subiso_set
+                and d not in optional
+                and pos_tags[d] in OPTIONAL_POS_TAGS
+            ):
+                optional.add(d)
+                changed = True
+    return optional
+
+
+def extract_from_sentence(
+    parsed_row: dict,
+    patterns,
+    hierarchy,
+) -> list[dict]:
+    """Run the full per-sentence match loop; returns eventuality dicts."""
+    pos_tags = list(parsed_row["pos_tags"])
+    deps = [tuple(d) for d in parsed_row["dependencies"]]
+    g = DiGraph(pos_tags, deps)
+    seps = _sentence_separators(pos_tags)
+
+    covered = 0
+    results: list[dict] = []
+    seen_eids: set[str] = set()
+
+    for idx, (pat, patg) in enumerate(patterns):
+        flag = 1 << idx
+        if covered & flag:
+            continue
+        if len(pos_tags) < len(pat[0]) or len(deps) < len(pat[1]):
+            continue
+        subisos = get_subisomorphisms(g, patg)
+        matched = False
+        for subiso in subisos:
+            if _crosses_separator(subiso, seps):
+                continue
+            matched = True
+            subiso_set = set(subiso)
+            optional = _optional_closure(subiso_set, deps, pos_tags)
+
+            selected, skeleton = [], []
+            for dep in deps:
+                g_in = dep[0] in subiso_set
+                d_in = dep[2] in subiso_set
+                if g_in and d_in:
+                    selected.append(dep)
+                    skeleton.append(dep)
+                elif g_in and dep[2] in optional:
+                    selected.append(dep)
+                elif dep[0] in optional and dep[2] in optional:
+                    selected.append(dep)
+
+            ev = build_eventuality(list(selected), list(skeleton), parsed_row)
+            if ev is None or ev["eid"] in seen_eids:
+                continue
+            seen_eids.add(ev["eid"])
+            canon = construct_pattern(pat, subiso)
+            ev["pattern_sig"] = " ".join(canon[0])
+            results.append(ev)
+        if matched:
+            # bitmask: children of a matched pattern are skipped on this line
+            # (pattern_match.py:210-218)
+            covered |= flag
+            for child in hierarchy[idx]["children"]:
+                covered |= 1 << child
+    return results
+
+
+class _PatternCache:
+    """Per-executor cache of DiGraph-ified broadcast patterns."""
+
+    def __init__(self):
+        self.key = None
+        self.value = None
+
+    def get(self, mined: dict):
+        k = id(mined)
+        if self.key != k:
+            prepared = {}
+            for rel, info in mined.items():
+                prepared[rel] = (
+                    [(p, graph_of(p)) for p in info["patterns"]],
+                    info["hierarchy"],
+                )
+            self.key, self.value = k, prepared
+        return self.value
+
+
+_cache = _PatternCache()
+
+
+def match_patterns(parsed: DataFrame, mined: dict) -> DataFrame:
+    """parsed (D6) -> eventualities (D8).  ``mined`` is the driver-side
+    pattern dictionary from :func:`folkscope_spark.patterns.finish_patterns`;
+    Spark serializes it into the UDF closure (same role as a broadcast — a
+    few KB)."""
+
+    def run(batches):
+        prepared = _cache.get(mined)
+        for pdf in batches:
+            rows = []
+            for sid, rel, tokens, pos_tags, lemmas, ners, dep_structs, mentions in zip(
+                pdf["sid"], pdf["relation"], pdf["tokens"], pdf["pos_tags"],
+                pdf["lemmas"], pdf["ners"], pdf["dependencies"], pdf["mentions"],
+            ):
+                if rel not in prepared:
+                    continue
+                patterns, hierarchy = prepared[rel]
+                parsed_row = {
+                    "pos_tags": list(pos_tags),
+                    "lemmas": list(lemmas),
+                    "ners": list(ners),
+                    "dependencies": [(d["gov"], d["rel"], d["dep"]) for d in dep_structs],
+                }
+                for ev in extract_from_sentence(parsed_row, patterns, hierarchy):
+                    rows.append(
+                        {
+                            "eid": ev["eid"],
+                            "sid": sid,
+                            "relation": rel,
+                            "pattern_sig": ev["pattern_sig"],
+                            "words": ev["words"],
+                            "pos_tags": ev["pos_tags"],
+                            "dependencies": [
+                                {"gov": g, "rel": r, "dep": d}
+                                for g, r, d in ev["dependencies"]
+                            ],
+                            "skeleton_indices": ev["skeleton_indices"],
+                            "verb_indices": ev["verb_indices"],
+                            "frequency": 1.0,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "eid", "sid", "relation", "pattern_sig", "words", "pos_tags",
+                    "dependencies", "skeleton_indices", "verb_indices", "frequency",
+                ],
+            )
+
+    cols = ["sid", "relation", "tokens", "pos_tags", "lemmas", "ners",
+            "dependencies", "mentions"]
+    return parsed.select(cols).mapInPandas(run, schema=EVENTUALITIES)
+
+
+def merge_eventualities(events: DataFrame) -> DataFrame:
+    """J6/A3: same-eid eventualities merged, frequencies summed
+    (object.py:132-160; extractor.py:417-423).  The eid determines words/pos/
+    deps, so ``first()`` on those is exact, not approximate."""
+    from pyspark.sql import functions as F
+
+    return events.groupBy("eid").agg(
+        F.first("relation").alias("relation"),
+        F.first("pattern_sig").alias("pattern_sig"),
+        F.first("words").alias("words"),
+        F.first("pos_tags").alias("pos_tags"),
+        F.first("dependencies").alias("dependencies"),
+        F.first("skeleton_indices").alias("skeleton_indices"),
+        F.first("verb_indices").alias("verb_indices"),
+        F.sum("frequency").alias("frequency"),
+        F.count("*").alias("n_sentences"),
+        F.collect_set("sid").alias("sids"),
+    )

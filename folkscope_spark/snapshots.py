@@ -1,0 +1,145 @@
+"""Snapshot-manifest layer over parquet — Iceberg-semantics emulation.
+
+No Iceberg/Delta jars are installed offline (SURVEY.md §7), so snapshot
+commit / resume / lineage are provided by a thin manifest layer:
+
+* each stage commits to ``<root>/data/<stage>/`` via Spark parquet write,
+  then atomically renames a JSON manifest into ``<root>/_snapshots/<stage>.json``
+  carrying the input fingerprint, row count and per-partition counters;
+* resume = manifest exists + fingerprint matches + parquet ``_SUCCESS``
+  present -> the stage is skipped and its committed output is read back
+  (the reference's skip-if-file-exists caching, ``generation.py:151-158,
+  200-230``, with actual integrity checks);
+* every commit appends per-partition lineage rows to ``<root>/metrics/``
+  (north_rule: per-partition lineage + counters in a metrics table).
+
+The commit protocol (write data, then atomic-rename manifest) gives the same
+crash consistency contract as an Iceberg snapshot commit: a killed job leaves
+either no manifest (stage re-runs) or a complete manifest over complete data.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+class SnapshotStore:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(os.path.join(root, "_snapshots"), exist_ok=True)
+        os.makedirs(os.path.join(root, "metrics"), exist_ok=True)
+
+    # ---------------------------------------------------------------- paths
+
+    def data_path(self, stage: str) -> str:
+        return os.path.join(self.root, "data", stage)
+
+    def _manifest_path(self, stage: str) -> str:
+        return os.path.join(self.root, "_snapshots", f"{stage}.json")
+
+    # ---------------------------------------------------------------- resume
+
+    def manifest(self, stage: str) -> dict | None:
+        p = self._manifest_path(stage)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def is_committed(self, stage: str, fingerprint: str) -> bool:
+        m = self.manifest(stage)
+        if m is None or m.get("fingerprint") != fingerprint:
+            return False
+        return os.path.exists(os.path.join(m["path"], "_SUCCESS"))
+
+    def read(self, spark: SparkSession, stage: str) -> DataFrame:
+        m = self.manifest(stage)
+        if m is None:
+            raise FileNotFoundError(f"no snapshot for stage {stage}")
+        return spark.read.parquet(m["path"])
+
+    # ---------------------------------------------------------------- commit
+
+    def commit(
+        self,
+        stage: str,
+        df: DataFrame,
+        fingerprint: str,
+        partition_by: list[str] | None = None,
+        detail: str = "",
+    ) -> DataFrame:
+        """Write the stage output, record per-partition counters, then
+        atomically publish the manifest.  Returns the committed data re-read
+        from parquet (so downstream stages scan columnar storage, not the
+        live lineage)."""
+        spark = df.sparkSession
+        path = self.data_path(stage)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(path)
+
+        committed = spark.read.parquet(path)
+        # per-partition lineage counters (one cheap agg over the committed data)
+        part_counts = (
+            committed.groupBy(F.spark_partition_id().alias("partition_id"))
+            .count()
+            .collect()
+        )
+        rows = int(sum(r["count"] for r in part_counts))
+        snapshot_id = "%s-%d" % (stage, int(time.time() * 1000))
+        metrics_rows = [
+            {
+                "stage": stage,
+                "snapshot_id": snapshot_id,
+                "partition_id": int(r["partition_id"]),
+                "rows_in": -1,
+                "rows_out": int(r["count"]),
+                "detail": detail,
+            }
+            for r in part_counts
+        ]
+        from .schemas import METRICS
+
+        spark.createDataFrame(metrics_rows, schema=METRICS).coalesce(1).write.mode(
+            "append"
+        ).parquet(os.path.join(self.root, "metrics"))
+
+        manifest = {
+            "stage": stage,
+            "snapshot_id": snapshot_id,
+            "fingerprint": fingerprint,
+            "path": path,
+            "rows": rows,
+            "n_partitions": len(part_counts),
+            "committed_at": time.time(),
+            "detail": detail,
+        }
+        tmp = self._manifest_path(stage) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, self._manifest_path(stage))  # atomic publish
+        return committed
+
+    def stage(
+        self,
+        spark: SparkSession,
+        stage: str,
+        fingerprint: str,
+        build,
+        partition_by: list[str] | None = None,
+        detail: str = "",
+    ) -> DataFrame:
+        """Run-or-resume: if a committed snapshot matches the fingerprint,
+        read it back (zero recompute — the anti-duplicate-work contract);
+        otherwise build, commit, return."""
+        if self.is_committed(stage, fingerprint):
+            return self.read(spark, stage)
+        return self.commit(stage, build(), fingerprint, partition_by, detail)
+
+    def metrics(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(os.path.join(self.root, "metrics"))
