@@ -177,7 +177,10 @@ def canonicalize_surface_forms(
     toks = tokenize_col(forms, "text").withColumn("id", F.col("text"))
     sigs = minhash_signatures(toks, "id", n_hashes)
     pairs = lsh_candidate_pairs(sigs, "id", n_bands)
-    verified = verify_jaccard(pairs, toks, "id", jaccard_threshold)
+    verified = verify_jaccard(pairs, toks, "id", jaccard_threshold).cache()
+    if not verified.limit(1).count():
+        # no near-duplicates at all: identity mapping, skip the CC loop
+        return forms.select("text", F.col("text").alias("canonical_text"))
     comps = connected_components(verified)
     # canonical member per component = lexicographic min id (== min text)
     canon = comps.groupBy("comp").agg(F.min("id").alias("canonical_text"))

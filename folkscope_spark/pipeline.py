@@ -30,7 +30,7 @@ from .snapshots import SnapshotStore
 
 def run_pipeline(
     spark: SparkSession,
-    out_dir: str,
+    out_dir: str | None,
     n_pages: int = 2000,
     n_items: int = 200,
     pages: DataFrame | None = None,
@@ -40,8 +40,11 @@ def run_pipeline(
     max_extra: int = 2,
     micro_batches: int | None = None,
 ) -> dict:
-    """Returns {"triples": DataFrame, "stages": {stage: seconds}, ...}."""
-    store = SnapshotStore(out_dir)
+    """Returns {"triples": DataFrame, "stages": {stage: seconds}, ...}.
+
+    ``out_dir=None`` runs storeless: stage outputs are cached in memory
+    instead of snapshot-committed (fast smoke/test mode, no resume)."""
+    store = SnapshotStore(out_dir) if out_dir else None
     timings: dict[str, float] = {}
     fp = f"v1:n_pages={n_pages}:n_items={n_items}:minp={min_plausibility}:extra={max_extra}"
 
@@ -50,6 +53,23 @@ def run_pipeline(
         out = fn()
         timings[name] = round(time.time() - t0, 3)
         return out
+
+    class _MemStore:
+        """Storeless stand-in: cache + materialize each stage boundary."""
+
+        def stage(self, _spark, _name, _fp, build, **kw):
+            df = build().cache()
+            df.count()
+            return df
+
+        def data_path(self, name):
+            return "/tmp/folkscope_mem_" + name
+
+        def manifest(self, name):
+            return None
+
+    if store is None:
+        store = _MemStore()
 
     if pages is None:
         pages = synthetic.pages_df(spark, n_pages, n_items)
