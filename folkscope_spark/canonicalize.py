@@ -58,7 +58,7 @@ def lsh_candidate_pairs(
     sigs: DataFrame,
     id_col: str,
     n_bands: int = 4,
-    max_bucket: int = 1000,
+    max_bucket: int = 256,
 ) -> DataFrame:
     """Band the signatures and self-join within buckets -> (id_a, id_b)."""
     n_hashes = 16  # len(sig); bands of n_hashes/n_bands rows
@@ -93,7 +93,7 @@ def lsh_candidate_pairs(
 
 
 def verify_jaccard(
-    pairs: DataFrame, toks: DataFrame, id_col: str, threshold: float = 0.7
+    pairs: DataFrame, toks: DataFrame, id_col: str, threshold: float = 0.9
 ) -> DataFrame:
     """Exact token Jaccard filter over candidate pairs."""
     ta = toks.select(F.col(id_col).alias("id_a"), F.col("_tokens").alias("t_a"))
@@ -111,8 +111,38 @@ def verify_jaccard(
     )
 
 
+def _cc_driver(edges: DataFrame) -> DataFrame:
+    """Union-find on a collected edge list — the fast path when the verified
+    near-duplicate edge set is dimension-sized (it usually is: LSH+verify has
+    already reduced the problem to actual duplicate clusters).  The
+    distributed loop below is the 100TB path; the crossover is size-guarded in
+    :func:`connected_components`."""
+    spark = edges.sparkSession
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in edges.collect():
+        a, b = r["id_a"], r["id_b"]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # deterministic: smaller id wins as root
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    rows = [(x, find(x)) for x in parent]
+    return spark.createDataFrame(rows, "id string, comp string")
+
+
 def connected_components(
-    edges: DataFrame, max_iter: int = 20
+    edges: DataFrame, max_iter: int = 20, driver_threshold: int = 2_000_000
 ) -> DataFrame:
     """Small-star/large-star CC over an (id_a, id_b) edge list ->
     (id, component) with component = min reachable id.
@@ -120,11 +150,18 @@ def connected_components(
     Each iteration: attach every node to the min of its neighborhood+self,
     then rewrite edges through the new labels; converged when no label moves.
     """
-    spark = edges.sparkSession
+    edges = edges.cache()
+    n_edges = edges.count()
+    if n_edges <= driver_threshold:
+        return _cc_driver(edges)
+    # size the loop's shuffles to the data, not the session default
+    n_part = max(4, n_edges // 500_000)
     e = (
         edges.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
         .union(edges.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
         .distinct()
+        .repartition(n_part, "u")
+        .cache()
     )
     # initial label: min neighbor (or self)
     labels = (
@@ -166,7 +203,7 @@ def connected_components(
 def canonicalize_surface_forms(
     df: DataFrame,
     text_col: str = "obj",
-    jaccard_threshold: float = 0.7,
+    jaccard_threshold: float = 0.9,
     n_hashes: int = 16,
     n_bands: int = 4,
 ) -> DataFrame:
