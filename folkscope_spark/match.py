@@ -155,13 +155,17 @@ def match_patterns(parsed: DataFrame, mined: dict) -> DataFrame:
     Spark serializes it into the UDF closure (same role as a broadcast — a
     few KB)."""
 
+    has_weight = "weight" in parsed.columns
+
     def run(batches):
         prepared = _cache.get(mined)
         for pdf in batches:
             rows = []
-            for sid, rel, tokens, pos_tags, lemmas, ners, dep_structs, mentions in zip(
+            weights = pdf["weight"] if has_weight else [1.0] * len(pdf)
+            for sid, rel, tokens, pos_tags, lemmas, ners, dep_structs, mentions, w in zip(
                 pdf["sid"], pdf["relation"], pdf["tokens"], pdf["pos_tags"],
                 pdf["lemmas"], pdf["ners"], pdf["dependencies"], pdf["mentions"],
+                weights,
             ):
                 if rel not in prepared:
                     continue
@@ -187,7 +191,7 @@ def match_patterns(parsed: DataFrame, mined: dict) -> DataFrame:
                             ],
                             "skeleton_indices": ev["skeleton_indices"],
                             "verb_indices": ev["verb_indices"],
-                            "frequency": 1.0,
+                            "frequency": float(w),
                         }
                     )
             yield pd.DataFrame(
@@ -199,7 +203,7 @@ def match_patterns(parsed: DataFrame, mined: dict) -> DataFrame:
             )
 
     cols = ["sid", "relation", "tokens", "pos_tags", "lemmas", "ners",
-            "dependencies", "mentions"]
+            "dependencies", "mentions"] + (["weight"] if has_weight else [])
     return parsed.select(cols).mapInPandas(run, schema=EVENTUALITIES)
 
 

@@ -17,24 +17,64 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
+from pyspark.sql import types as T
+
 from .nlp import parse_sentence
 from .schemas import PARSED
 from .textnorm import clean_text
 
+# PARSED + corpus-multiplicity weight (dedupe-aware parsing)
+PARSED_W = T.StructType(
+    PARSED.fields[:2]
+    + [T.StructField("weight", T.DoubleType())]
+    + PARSED.fields[2:]
+)
 
-def parse_assertions(assertions: DataFrame) -> DataFrame:
-    """assertions(tail,...) -> parsed rows (one per assertion tail).
+
+def parse_assertions(assertions: DataFrame, dedupe: bool = True) -> DataFrame:
+    """assertions(tail,...) -> parsed rows.
 
     The cleaner runs first inside the same UDF (byte-contract P6); empty or
-    unparsable rows are dropped (validity guard P13,
-    pattern_filter.py:65).
+    unparsable rows are dropped (validity guard P13, pattern_filter.py:65).
+
+    ``dedupe=True`` (default) parses each **distinct** (relation, tail) once
+    and carries ``weight`` = corpus multiplicity — at web scale identical LLM
+    continuations are common, so this cuts the hottest Python kernel by the
+    duplication factor while keeping corpus-frequency semantics exact
+    (downstream counts sum the weight; results re-attach to assertion rows by
+    ``sid = md5(relation || tail)``).  ``dedupe=False`` reproduces the
+    reference's one-parse-per-row behavior with
+    ``sid = "{a}-{rel}-{b}|{seq}"`` (generation_parser.py:137).
     """
+
+    if dedupe:
+        src = (
+            assertions.groupBy("relation", "tail")
+            .count()
+            .select(
+                F.md5(F.concat_ws("\x1f", "relation", "tail")).alias("sid"),
+                "relation",
+                "tail",
+                F.col("count").cast("double").alias("weight"),
+            )
+        )
+    else:
+        src = assertions.select(
+            F.concat_ws(
+                "|",
+                F.concat_ws("-", "item_a", "relation", "item_b"),
+                F.col("seq_no"),
+            ).alias("sid"),
+            "relation",
+            "tail",
+            F.lit(1.0).alias("weight"),
+        )
 
     def run(batches):
         for pdf in batches:
             rows = []
-            for item_a, item_b, rel, seq_no, tail in zip(
-                pdf["item_a"], pdf["item_b"], pdf["relation"], pdf["seq_no"], pdf["tail"]
+            for sid, rel, tail, weight in zip(
+                pdf["sid"], pdf["relation"], pdf["tail"], pdf["weight"]
             ):
                 cleaned = clean_text(tail)
                 if not cleaned:
@@ -44,8 +84,9 @@ def parse_assertions(assertions: DataFrame) -> DataFrame:
                     continue
                 rows.append(
                     {
-                        "sid": "%s-%s-%s|%d" % (item_a, rel, item_b, seq_no),
+                        "sid": sid,
                         "relation": rel,
+                        "weight": weight,
                         "text": parsed["text"],
                         "tokens": parsed["tokens"],
                         "pos_tags": parsed["pos_tags"],
@@ -61,14 +102,12 @@ def parse_assertions(assertions: DataFrame) -> DataFrame:
             yield pd.DataFrame(
                 rows,
                 columns=[
-                    "sid", "relation", "text", "tokens", "pos_tags",
+                    "sid", "relation", "weight", "text", "tokens", "pos_tags",
                     "lemmas", "ners", "dependencies", "mentions",
                 ],
             )
 
-    return assertions.select(
-        "item_a", "item_b", "relation", "seq_no", "tail"
-    ).mapInPandas(run, schema=PARSED)
+    return src.mapInPandas(run, schema=PARSED_W)
 
 
 def clean_pages(pages: DataFrame) -> DataFrame:

@@ -123,11 +123,14 @@ def count_anchored_patterns(
     partial combine."""
     lens = anchor_lens()
 
+    has_weight = "weight" in parsed.columns
+
     def enum(batches):
         for pdf in batches:
-            rels, sigs = [], []
-            for rel, pos_tags, dep_structs in zip(
-                pdf["relation"], pdf["pos_tags"], pdf["dependencies"]
+            rels, sigs, ws = [], [], []
+            weights = pdf["weight"] if has_weight else [1.0] * len(pdf)
+            for rel, pos_tags, dep_structs, w in zip(
+                pdf["relation"], pdf["pos_tags"], pdf["dependencies"], weights
             ):
                 alen = lens.get(rel, 0)
                 if alen == 0:
@@ -136,13 +139,15 @@ def count_anchored_patterns(
                 for pat in enumerate_anchored(list(pos_tags), deps, alen, max_extra):
                     rels.append(rel)
                     sigs.append(pattern_sig(pat))
-            yield pd.DataFrame({"relation": rels, "sig": sigs})
+                    ws.append(float(w))
+            yield pd.DataFrame({"relation": rels, "sig": sigs, "w": ws})
 
+    cols = ["relation", "pos_tags", "dependencies"] + (["weight"] if has_weight else [])
     return (
-        parsed.select("relation", "pos_tags", "dependencies")
-        .mapInPandas(enum, schema="relation string, sig string")
+        parsed.select(cols)
+        .mapInPandas(enum, schema="relation string, sig string, w double")
         .groupBy("relation", "sig")
-        .count()
+        .agg(F.sum("w").cast("long").alias("count"))
     )
 
 

@@ -39,6 +39,7 @@ def run_pipeline(
     with_canonicalize: bool = True,
     max_extra: int = 2,
     micro_batches: int | None = None,
+    dedupe_parse: bool = True,
 ) -> dict:
     """Returns {"triples": DataFrame, "stages": {stage: seconds}, ...}.
 
@@ -46,7 +47,8 @@ def run_pipeline(
     instead of snapshot-committed (fast smoke/test mode, no resume)."""
     store = SnapshotStore(out_dir) if out_dir else None
     timings: dict[str, float] = {}
-    fp = f"v1:n_pages={n_pages}:n_items={n_items}:minp={min_plausibility}:extra={max_extra}"
+    fp = (f"v1:n_pages={n_pages}:n_items={n_items}:minp={min_plausibility}"
+          f":extra={max_extra}:dedupe={dedupe_parse}")
 
     def timed(name, fn):
         t0 = time.time()
@@ -105,7 +107,7 @@ def run_pipeline(
     # -- parsing -------------------------------------------------------------
     parsed = timed(
         "parse",
-        lambda: store.stage(spark, "parsed", fp, lambda: parse.parse_assertions(scored)),
+        lambda: store.stage(spark, "parsed", fp, lambda: parse.parse_assertions(scored, dedupe=dedupe_parse)),
     )
 
     # -- pattern mining ------------------------------------------------------
@@ -117,8 +119,8 @@ def run_pipeline(
         lambda: store.stage(spark, "pattern_counts", fp, build_pattern_counts),
     )
     sent_counts = {
-        r["relation"]: r["n"]
-        for r in parsed.groupBy("relation").agg(F.count("*").alias("n")).collect()
+        r["relation"]: int(r["n"])
+        for r in parsed.groupBy("relation").agg(F.sum("weight").alias("n")).collect()
     }
     mined = timed(
         "mine_finish",
@@ -138,27 +140,17 @@ def run_pipeline(
 
     # -- eventuality-level triples -------------------------------------------
     def build_event_triples():
+        # eventualities carry distinct-tail keys; re-attach to assertion rows
+        # (and their pair subjects + scores) by tkey = md5(relation || tail)
         ev = events.select(
-            "eid", "relation", "words", "frequency", F.explode("sids").alias("sid")
-        )
-        ev = materialize.sid_to_pair(ev)
-        ev = ev.withColumn("obj_text", F.concat_ws(" ", "words"))
+            "eid", "relation", "words", "frequency", F.explode("sids").alias("tkey")
+        ).withColumn("obj_text", F.concat_ws(" ", "words"))
         sc = scored.select(
-            "pair_key", "seq_no", "plausibility", "typicality"
-        ).withColumn(
-            "sid",
-            F.concat_ws(
-                "|",
-                F.concat_ws(
-                    "-",
-                    F.split("pair_key", "-")[0],
-                    F.element_at(F.split("pair_key", "-"), -1),
-                    F.split("pair_key", "-")[1],
-                ),
-                F.col("seq_no"),
-            ),
-        ).drop("seq_no")
-        return ev.join(sc, "sid").select(
+            F.md5(F.concat_ws("\x1f", "relation", "tail")).alias("tkey"),
+            F.concat_ws("-", "item_a", "item_b").alias("subj"),
+            "plausibility",
+        )
+        return ev.join(sc, "tkey").select(
             "subj", "relation", "obj_text", "plausibility", "eid", "frequency"
         )
 
