@@ -213,8 +213,10 @@ def merge_eventualities(events: DataFrame) -> DataFrame:
     deps, so ``first()`` on those is exact, not approximate."""
     from pyspark.sql import functions as F
 
-    return events.groupBy("eid").agg(
-        F.first("relation").alias("relation"),
+    # keyed by (eid, relation): the reference merges within one relation's
+    # extraction file; merging across relations would mis-assign the pred of
+    # every sid from the losing relation
+    return events.groupBy("eid", "relation").agg(
         F.first("pattern_sig").alias("pattern_sig"),
         F.first("words").alias("words"),
         F.first("pos_tags").alias("pos_tags"),

@@ -140,17 +140,27 @@ def run_pipeline(
 
     # -- eventuality-level triples -------------------------------------------
     def build_event_triples():
-        # eventualities carry distinct-tail keys; re-attach to assertion rows
-        # (and their pair subjects + scores) by tkey = md5(relation || tail)
+        # eventualities carry the parse-stage key in `sids`; re-attach to the
+        # assertion rows (pair subjects + scores) by the matching key:
+        # dedupe mode -> tkey = md5(relation || tail); parity mode ->
+        # sid = "{a}-{rel}-{b}|{seq}" (generation_parser.py:137)
         ev = events.select(
-            "eid", "relation", "words", "frequency", F.explode("sids").alias("tkey")
+            "eid", "relation", "words", "frequency", F.explode("sids").alias("k")
         ).withColumn("obj_text", F.concat_ws(" ", "words"))
+        if dedupe_parse:
+            key = F.md5(F.concat_ws("\x1f", "relation", "tail"))
+        else:
+            key = F.concat_ws(
+                "|",
+                F.concat_ws("-", "item_a", "relation", "item_b"),
+                F.col("seq_no"),
+            )
         sc = scored.select(
-            F.md5(F.concat_ws("\x1f", "relation", "tail")).alias("tkey"),
+            key.alias("k"),
             F.concat_ws("-", "item_a", "item_b").alias("subj"),
             "plausibility",
         )
-        return ev.join(sc, "tkey").select(
+        return ev.join(sc, "k").select(
             "subj", "relation", "obj_text", "plausibility", "eid", "frequency"
         )
 

@@ -1,0 +1,135 @@
+"""End-to-end pipeline tests: oracle parity, resume, CC distributed path.
+
+Heavier than unit tests (spins up Spark) but still < a couple of minutes.
+"""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.oracle_port import oracle_triples
+
+N_PAGES = 400
+N_ITEMS = 80
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from folkscope_spark.session import get_spark
+
+    s = get_spark(app="tests", master="local[8]", shuffle_partitions=8)
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="module")
+def result(spark):
+    from folkscope_spark.pipeline import run_pipeline
+
+    return run_pipeline(
+        spark, out_dir=None, n_pages=N_PAGES, n_items=N_ITEMS,
+        with_concepts=True, with_canonicalize=False, max_extra=2,
+    )
+
+
+def test_triples_match_oracle(result):
+    """P/R vs the single-process oracle port (target >= 0.95; BASELINE.json).
+    The pipeline is fully deterministic so we expect exact equality."""
+    got = {
+        (r["subj"], r["pred"], r["obj"])
+        for r in result["triples"].select("subj", "pred", "obj").collect()
+    }
+    want = oracle_triples(N_PAGES, N_ITEMS, max_extra=2)
+    assert want, "oracle produced no triples — fixture too small"
+    tp = len(got & want)
+    precision = tp / max(len(got), 1)
+    recall = tp / len(want)
+    assert precision >= 0.95, f"precision {precision:.3f} (got {len(got)}, want {len(want)})"
+    assert recall >= 0.95, f"recall {recall:.3f} (got {len(got)}, want {len(want)})"
+    assert got == want  # determinism: exact match expected, not just P/R
+
+
+def test_eventualities_unique_per_relation(result):
+    ev = result["events"]
+    dup = ev.groupBy("eid", "relation").count().filter(F.col("count") > 1).count()
+    assert dup == 0
+
+
+def test_scores_in_unit_interval(result):
+    bad = result["scored"].filter(
+        (F.col("plausibility") < 0) | (F.col("plausibility") > 1)
+    ).count()
+    assert bad == 0
+
+
+def test_threshold_variants_nest(result):
+    from folkscope_spark.materialize import threshold_variants
+
+    v = threshold_variants(result["triples"])
+    n00, n05, n09 = v["00"].count(), v["05"].count(), v["09"].count()
+    assert n00 >= n05 >= n09
+    assert n00 == result["triples"].count()
+
+
+def test_resume_skips_and_reproduces(spark, tmp_path):
+    from folkscope_spark.pipeline import run_pipeline
+
+    out = str(tmp_path / "kg")
+    r1 = run_pipeline(spark, out, n_pages=150, n_items=40,
+                      with_concepts=False, with_canonicalize=False, max_extra=1)
+    t1 = {tuple(r) for r in r1["triples"].select("subj", "pred", "obj").collect()}
+    m1 = r1["store"].manifest("assertions")
+    # second run: every stage must resume from its committed snapshot
+    r2 = run_pipeline(spark, out, n_pages=150, n_items=40,
+                      with_concepts=False, with_canonicalize=False, max_extra=1)
+    t2 = {tuple(r) for r in r2["triples"].select("subj", "pred", "obj").collect()}
+    m2 = r2["store"].manifest("assertions")
+    assert t1 == t2
+    assert m1["snapshot_id"] == m2["snapshot_id"], "stage re-ran instead of resuming"
+    # metrics table has per-partition lineage rows for every stage
+    metrics = r2["store"].metrics(spark)
+    stages = {r["stage"] for r in metrics.select("stage").distinct().collect()}
+    assert "assertions" in stages and "triples" in stages
+
+
+def test_resume_invalidates_on_fingerprint_change(spark, tmp_path):
+    from folkscope_spark.pipeline import run_pipeline
+
+    out = str(tmp_path / "kg2")
+    r1 = run_pipeline(spark, out, n_pages=100, n_items=30,
+                      with_concepts=False, with_canonicalize=False, max_extra=1)
+    m1 = r1["store"].manifest("assertions")
+    r2 = run_pipeline(spark, out, n_pages=120, n_items=30,
+                      with_concepts=False, with_canonicalize=False, max_extra=1)
+    m2 = r2["store"].manifest("assertions")
+    assert m1["fingerprint"] != m2["fingerprint"]
+    assert m1["snapshot_id"] != m2["snapshot_id"]
+
+
+def test_connected_components_distributed_path(spark):
+    from folkscope_spark.canonicalize import connected_components
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y"), ("p", "q"), ("q", "r"), ("r", "s")],
+        "id_a string, id_b string",
+    )
+    # force the iterative small-star/large-star path
+    comps = connected_components(edges, driver_threshold=0)
+    got = {(r["id"], r["comp"]) for r in comps.collect()}
+    assert got == {
+        ("a", "a"), ("b", "a"), ("c", "a"),
+        ("x", "x"), ("y", "x"),
+        ("p", "p"), ("q", "p"), ("r", "p"), ("s", "p"),
+    }
+
+
+def test_cc_driver_path_equivalent(spark):
+    from folkscope_spark.canonicalize import connected_components
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], "id_a string, id_b string"
+    )
+    fast = {(r["id"], r["comp"]) for r in connected_components(edges).collect()}
+    dist = {(r["id"], r["comp"]) for r in connected_components(edges, driver_threshold=0).collect()}
+    assert fast == dist
