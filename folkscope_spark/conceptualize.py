@@ -165,15 +165,38 @@ def conceptualize(
         "score double, frequency double"
     )
 
+    def dominant_ner(counters) -> list | None:
+        """Most-frequent non-O label per position (object.py:496-506)."""
+        if counters is None:
+            return None
+        out = []
+        for c in counters:
+            best = "O"
+            if c:
+                for label, cnt in sorted(c.items(), key=lambda kv: (-kv[1], kv[0])):
+                    if label != "O":
+                        best = label
+                        break
+                else:
+                    best = "O"
+                if all(k == "O" for k in c):
+                    best = "O"
+            out.append(best)
+        return out
+
     def run(batches):
         for pdf in batches:
             rows = []
+            has_counters = "ner_counters" in pdf.columns
+            ner_src = pdf["ner_counters"] if has_counters else [None] * len(pdf)
             for eid, rel, words, pos_tags, ners, freq in zip(
                 pdf["eid"], pdf["relation"], pdf["words"], pdf["pos_tags"],
-                pdf.get("ners", [None] * len(pdf)), pdf["frequency"],
+                ner_src, pdf["frequency"],
             ):
                 words = list(words)
                 pos_tags = list(pos_tags)
+                if has_counters:
+                    ners = dominant_ner(ners)
                 seeded = seed_rule_words(words, pos_tags, ners)
                 for cw, score in probase_concepts(seeded, pos_tags, topk_map, top_k):
                     rows.append(
@@ -191,7 +214,11 @@ def conceptualize(
                 columns=["cid", "eid", "relation", "concept_text", "score", "frequency"],
             )
 
-    cols = [c for c in ("eid", "relation", "words", "pos_tags", "frequency") if c in events.columns]
+    cols = [
+        c
+        for c in ("eid", "relation", "words", "pos_tags", "ner_counters", "frequency")
+        if c in events.columns
+    ]
     return events.select(cols).mapInPandas(run, schema=schema)
 
 

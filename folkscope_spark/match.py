@@ -191,6 +191,7 @@ def match_patterns(parsed: DataFrame, mined: dict) -> DataFrame:
                             ],
                             "skeleton_indices": ev["skeleton_indices"],
                             "verb_indices": ev["verb_indices"],
+                            "ners": ev["ners"],
                             "frequency": float(w),
                         }
                     )
@@ -198,7 +199,8 @@ def match_patterns(parsed: DataFrame, mined: dict) -> DataFrame:
                 rows,
                 columns=[
                     "eid", "sid", "relation", "pattern_sig", "words", "pos_tags",
-                    "dependencies", "skeleton_indices", "verb_indices", "frequency",
+                    "dependencies", "skeleton_indices", "verb_indices", "ners",
+                    "frequency",
                 ],
             )
 
@@ -208,22 +210,51 @@ def match_patterns(parsed: DataFrame, mined: dict) -> DataFrame:
 
 
 def merge_eventualities(events: DataFrame) -> DataFrame:
-    """J6/A3: same-eid eventualities merged, frequencies summed
-    (object.py:132-160; extractor.py:417-423).  The eid determines words/pos/
-    deps, so ``first()`` on those is exact, not approximate."""
+    """J6/A3: same-eid eventualities merged, frequencies summed, per-position
+    NER labels merged into weighted counters (object.py:132-160;
+    extractor.py:417-423).  The eid determines words/pos/deps, so ``first()``
+    on those is exact, not approximate; ners are NOT part of the eid and are
+    merged as positional Counters weighted by frequency, like the reference's
+    ``Counter.update`` path (object.py:145-153)."""
+    import pandas as pd
     from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    from .schemas import NER_COUNTERS
+
+    @pandas_udf(NER_COUNTERS)
+    def merge_ner_counters(ner_lists: pd.Series, freqs: pd.Series) -> pd.Series:
+        out = []
+        for variants, fs in zip(ner_lists, freqs):
+            counters: list[dict] = []
+            for ners, f in zip(variants, fs):
+                if ners is None:
+                    continue
+                while len(counters) < len(ners):
+                    counters.append({})
+                for i, label in enumerate(ners):
+                    counters[i][label] = counters[i].get(label, 0.0) + float(f)
+            out.append(counters)
+        return pd.Series(out)
 
     # keyed by (eid, relation): the reference merges within one relation's
     # extraction file; merging across relations would mis-assign the pred of
     # every sid from the losing relation
-    return events.groupBy("eid", "relation").agg(
-        F.first("pattern_sig").alias("pattern_sig"),
-        F.first("words").alias("words"),
-        F.first("pos_tags").alias("pos_tags"),
-        F.first("dependencies").alias("dependencies"),
-        F.first("skeleton_indices").alias("skeleton_indices"),
-        F.first("verb_indices").alias("verb_indices"),
-        F.sum("frequency").alias("frequency"),
-        F.count("*").alias("n_sentences"),
-        F.collect_set("sid").alias("sids"),
+    return (
+        events.groupBy("eid", "relation")
+        .agg(
+            F.first("pattern_sig").alias("pattern_sig"),
+            F.first("words").alias("words"),
+            F.first("pos_tags").alias("pos_tags"),
+            F.first("dependencies").alias("dependencies"),
+            F.first("skeleton_indices").alias("skeleton_indices"),
+            F.first("verb_indices").alias("verb_indices"),
+            F.sum("frequency").alias("frequency"),
+            F.count("*").alias("n_sentences"),
+            F.collect_set("sid").alias("sids"),
+            F.collect_list("ners").alias("_ner_variants"),
+            F.collect_list("frequency").alias("_freqs"),
+        )
+        .withColumn("ner_counters", merge_ner_counters("_ner_variants", "_freqs"))
+        .drop("_ner_variants", "_freqs")
     )

@@ -131,9 +131,13 @@ EVENTUALITIES = T.StructType(
         T.StructField("dependencies", T.ArrayType(DEP_EDGE)),
         T.StructField("skeleton_indices", T.ArrayType(T.IntegerType())),
         T.StructField("verb_indices", T.ArrayType(T.IntegerType())),
+        T.StructField("ners", T.ArrayType(T.StringType())),
         T.StructField("frequency", T.DoubleType()),
     ]
 )
+
+# merged NER: one counter per token position (A3, object.py:145-153)
+NER_COUNTERS = T.ArrayType(T.MapType(T.StringType(), T.DoubleType()))
 
 # D9 — probase concept table (src/pattern/conceptualizer.py:32-56)
 PROBASE = T.StructType(
