@@ -196,17 +196,41 @@ def run_pipeline(
 
     # -- conceptualization ---------------------------------------------------
     concepts = None
+    concept_triples = None
     if with_concepts:
         probase = synthetic.probase_df(spark)
         topk_map = collect_topk_map(probase_topk(probase))
-        concepts = timed(
+        concept_rows = timed(
             "conceptualize",
             lambda: store.stage(
                 spark,
-                "concepts",
+                "concept_rows",
                 fp,
-                lambda: aggregate_concepts(conceptualize(events, topk_map)),
+                lambda: conceptualize(events, topk_map),
             ),
+        )
+        concepts = aggregate_concepts(concept_rows)
+
+        def build_concept_triples():
+            # conceptualized KG variant: (pair) --rel--> concept, scored by
+            # plausibility x concept likelihood (readme.md:48-62 analog)
+            ev = event_triples_src.select("eid", "subj", "relation", "plausibility")
+            return (
+                concept_rows.select("eid", "concept_text", "score")
+                .join(ev, "eid")
+                .select(
+                    "subj",
+                    F.col("relation").alias("pred"),
+                    F.col("concept_text").alias("obj"),
+                    (F.col("plausibility") * F.col("score")).alias("score"),
+                )
+                .groupBy("subj", "pred", "obj")
+                .agg(F.max("score").alias("score"))
+            )
+
+        concept_triples = timed(
+            "concept_triples",
+            lambda: store.stage(spark, "concept_triples", fp, build_concept_triples),
         )
 
     # -- final write ---------------------------------------------------------
@@ -224,6 +248,7 @@ def run_pipeline(
         "events": events,
         "triples": triples,
         "concepts": concepts,
+        "concept_triples": concept_triples,
         "stages": timings,
         "store": store,
     }
