@@ -274,6 +274,45 @@ def q_window_tumbling(spark, sf):  # §2.11 tumbling-window rollup (batch form)
     )
 
 
+def q_p2_prefix_strip(spark, sf):  # P2 locate-prefix + keep-suffix
+    d = _t(spark, sf, "documents")
+    return (
+        d.withColumn("pos", F.expr("locate('the', text)"))
+        .filter(F.col("pos") > 0)
+        .select(
+            "doc_id",
+            F.expr("substring(text, locate('the', text), length(text))").alias("tail"),
+        )
+    )
+
+
+def q_rollup_metrics(spark, sf):  # metrics rollup (free Catalyst grouping sets)
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "cnt",
+        )
+    )
+
+
+def q_j8_dictionary(spark, sf):  # J8 entity-id dictionary (deterministic ids)
+    from folkscope_spark.dictionary import build_dictionary
+
+    p = _t(spark, sf, "part")
+    return build_dictionary(p, "p_brand")
+
+
+def q_skew_salted_count(spark, sf):  # north_rule salted hot-key aggregation
+    from folkscope_spark.dictionary import salted_count
+
+    li = _t(spark, sf, "lineitem")
+    return salted_count(li, "l_returnflag")
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline operators (documents / embeddings)
 
@@ -429,6 +468,60 @@ def q_ann_cosine_topk(spark, sf):  # brute-force cosine top-k vs query vec 0
     )
 
 
+def q_ann_ivf_bucketed(spark, sf):  # LSH/IVF-bucketed ANN (scale path)
+    """Sign-LSH bucketing: 4 fixed pseudo-random hyperplanes (hash-derived
+    coefficients), bucket = sign bits; search only the query's bucket.
+    Brute-force q_ann_cosine_topk is the oracle-checked baseline; this is the
+    100TB path (bucket pruning instead of full scan) -> rows-only check +
+    recall test in tests/test_ann.py."""
+    e = _t(spark, sf, "embeddings")
+    dim = 64
+
+    def plane(p):  # deterministic ±1 coefficients from md5 bits
+        import hashlib
+
+        h = hashlib.md5(b"plane-%d" % p).digest() * 8
+        return [1.0 if (h[i // 8] >> (i % 8)) & 1 else -1.0 for i in range(dim)]
+
+    def bucket_col(col):
+        bits = []
+        for p in range(4):
+            coeffs = F.array(*[F.lit(c) for c in plane(p)])
+            dot = F.aggregate(
+                F.zip_with(col, coeffs, lambda a, c: a.cast("double") * c),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bits.append(F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
+        return sum(bits[1:], bits[0])
+
+    bucketed = e.withColumn("bucket", bucket_col(F.col("embedding")))
+    q = bucketed.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv"), F.col("bucket").alias("qbucket")
+    )
+    dot = F.aggregate(
+        F.zip_with("embedding", "qv", lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+    return (
+        bucketed.filter(F.col("vec_id") != 0)
+        # multi-probe: query bucket plus all buckets at hamming distance 1
+        # (recall/pruning tradeoff; 5/16 of the corpus searched)
+        .join(
+            F.broadcast(q),
+            F.bit_count(F.col("bucket").bitwiseXOR(F.col("qbucket"))) <= 1,
+        )
+        .withColumn("cosine", F.round(dot / (norm(F.col("embedding")) * norm(F.col("qv"))), 4))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id", "bucket", "cosine")
+    )
+
+
 # ---------------------------------------------------------------------------
 # FolkScope pipeline operators (non-SQL-expressible -> rows-only checks)
 
@@ -520,6 +613,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f1_hash_keys": q_f1_hash_keys,
         "f6_split_firstword": q_f6_split_firstword,
         "window_tumbling": q_window_tumbling,
+        "p2_prefix_strip": q_p2_prefix_strip,
+        "rollup_metrics": q_rollup_metrics,
+        "j8_dictionary": q_j8_dictionary,
+        "skew_salted_count": q_skew_salted_count,
+        "ann_ivf_bucketed": q_ann_ivf_bucketed,
         "dedup_exact": q_dedup_exact,
         "fingerprint": q_fingerprint,
         "token_stats": q_token_stats,
@@ -638,6 +736,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_orderkey, shard FROM (SELECT o_orderkey, "
             "(('0x' || substr(md5(o_orderkey::VARCHAR), 1, 4))::BIGINT % 8)::INT AS shard "
             "FROM orders) WHERE shard = 3"
+        ),
+        "p2_prefix_strip": (
+            "SELECT doc_id, substring(text, strpos(text, 'the')) AS tail "
+            "FROM documents WHERE strpos(text, 'the') > 0"
+        ),
+        "rollup_metrics": (
+            "SELECT COALESCE(l_returnflag, 'ALL') AS returnflag, "
+            "COALESCE(l_linestatus, 'ALL') AS linestatus, COUNT(*)::BIGINT AS cnt "
+            "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"
+        ),
+        "j8_dictionary": (
+            "SELECT key, (ROW_NUMBER() OVER (ORDER BY key) - 1)::INT AS id "
+            "FROM (SELECT DISTINCT p_brand AS key FROM part)"
+        ),
+        "skew_salted_count": (
+            "SELECT l_returnflag, COUNT(*)::BIGINT AS cnt FROM lineitem "
+            "GROUP BY l_returnflag"
         ),
         "dedup_exact": (
             "SELECT text, COUNT(*)::BIGINT AS n_copies, MIN(doc_id)::BIGINT AS keep_doc_id "
