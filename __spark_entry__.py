@@ -430,6 +430,16 @@ def q_simhash(spark, sf):  # SimHash-style bit signature over token hashes
     )
 
 
+def q_a6_vector_mean(spark, sf):  # A6 per-group element-wise embedding mean
+    e = _t(spark, sf, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .filter(F.col("dim") < 8)  # first 8 dims keep the result compact
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("mean_v"))
+    )
+
+
 def q_embedding_norms(spark, sf):  # embedding norm stats per label
     e = _t(spark, sf, "embeddings")
     norm = F.sqrt(
@@ -626,6 +636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_band": q_minhash_band,
         "ngram_shingles": q_ngram_shingles,
         "simhash": q_simhash,
+        "a6_vector_mean": q_a6_vector_mean,
         "embedding_norms": q_embedding_norms,
         "ann_cosine_topk": q_ann_cosine_topk,
         "fs_clean_text": q_fs_clean_text,
@@ -810,6 +821,11 @@ def oracle_sql() -> dict[str, str]:
             "votes AS (SELECT doc_id, bit, SUM(vote) AS v FROM bits GROUP BY doc_id, bit) "
             "SELECT doc_id, SUM(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT "
             "AS simhash16 FROM votes GROUP BY doc_id"
+        ),
+        "a6_vector_mean": (
+            "SELECT label, i - 1 AS dim, ROUND(AVG(embedding[i]::DOUBLE), 6) AS mean_v "
+            "FROM embeddings, unnest(generate_series(1, 8)) AS t(i) "
+            "GROUP BY label, dim"
         ),
         "embedding_norms": (
             "SELECT label, COUNT(*)::BIGINT AS n, "

@@ -33,7 +33,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 KG_PAGES = int(os.environ.get("BENCH_KG_PAGES", "100000"))
-SCALE_PAGES = int(os.environ.get("BENCH_SCALE_PAGES", "20000"))
+SCALE_PAGES = int(os.environ.get("BENCH_SCALE_PAGES", "50000"))
 SKIP_SCALING = os.environ.get("BENCH_SKIP_SCALING", "") == "1"
 
 HEADLINE = [

@@ -89,6 +89,8 @@ def build_prompts(pairs: DataFrame, items: DataFrame, templates: DataFrame) -> D
             F.concat_ws("-", "item_a", "item_b", "relation"),
         )
         .withColumn("key", F.md5("pair_key"))
+        # P5 input-length guard (generation.py:96-99: skip over-long prompts)
+        .filter(F.length("prompt") <= 2048)
         .select("item_a", "item_b", "relation", "pair_key", "key", "prompt")
     )
 
