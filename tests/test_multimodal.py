@@ -1,0 +1,89 @@
+"""Multimodal plumbing tests: schema, determinism, batch shape, stub seam."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from folkscope_spark.session import get_spark
+
+    s = get_spark(app="t3", master="local[4]", shuffle_partitions=4)
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="module")
+def assets(spark):
+    from folkscope_spark.multimodal import assets_from_pages
+    from folkscope_spark.synthetic import pages_df
+
+    return assets_from_pages(pages_df(spark, 60, 20)).cache()
+
+
+def test_assets_schema(assets):
+    from folkscope_spark.multimodal import ASSETS
+
+    # nullability flags differ between literal-built and declared schemas;
+    # names and types are the contract
+    assert [(f.name, f.dataType.simpleString()) for f in assets.schema.fields] == [
+        (f.name, f.dataType.simpleString()) for f in ASSETS.fields
+    ]
+    kinds = {r["kind"] for r in assets.select("kind").distinct().collect()}
+    assert kinds <= {"image", "audio", "video"}
+
+
+def test_feature_extraction_deterministic(assets):
+    from folkscope_spark.multimodal import FEATURE_DIM, extract_features
+
+    f1 = {r["asset_id"]: tuple(r["feature"]) for r in extract_features(assets).collect()}
+    f2 = {r["asset_id"]: tuple(r["feature"]) for r in extract_features(assets).collect()}
+    assert f1 == f2
+    assert all(len(v) == FEATURE_DIM for v in f1.values())
+    assert all(0.0 <= x <= 1.0 for v in f1.values() for x in v)
+
+
+def test_feature_sha1_matches_payload(assets):
+    import hashlib
+
+    from folkscope_spark.multimodal import extract_features
+
+    row = (
+        extract_features(assets)
+        .join(assets.select("asset_id", "payload"), "asset_id")
+        .first()
+    )
+    assert row["sha1"] == hashlib.sha1(bytes(row["payload"])).hexdigest()
+    assert row["n_bytes"] == len(bytes(row["payload"]))
+
+
+def test_resize_updates_meta(assets):
+    from folkscope_spark.multimodal import resize_images
+
+    out = resize_images(assets, 224, 224)
+    rows = out.collect()
+    n_images = assets.filter(F.col("kind") == "image").count()
+    assert len(rows) == n_images
+    assert all(r["meta"]["width"] == 224 and r["meta"]["height"] == 224 for r in rows)
+
+
+def test_frame_sampling_fanout(assets):
+    from folkscope_spark.multimodal import sample_frames
+
+    frames = sample_frames(assets, every_ms=1000)
+    joined = (
+        frames.groupBy("asset_id")
+        .agg(F.count("*").alias("n_frames"))
+        .join(assets.select("asset_id", F.col("meta.duration_ms").alias("d")), "asset_id")
+    )
+    for r in joined.collect():
+        assert r["n_frames"] == max(r["d"] // 1000, 1)
+
+
+def test_real_decoder_seam_raises(assets):
+    from folkscope_spark.multimodal import extract_features
+    from py4j.protocol import Py4JJavaError
+
+    with pytest.raises(Exception) as exc:
+        extract_features(assets, decoder="real").count()
+    assert "NotImplementedError" in str(exc.value) or "real decoder seam" in str(exc.value)
