@@ -152,6 +152,57 @@ def probase_concepts(
     return [(ws, score) for score, ws in ordered]
 
 
+def probase_concepts_with_phrases(
+    words: list[str],
+    pos_tags: list[str],
+    dependencies,
+    topk_map: dict[str, list[tuple[str, float]]],
+    top_k: int = DEFAULT_TOPK,
+) -> list[tuple[list[str], float]]:
+    """Word-level pass + compound-phrase second pass, merged by descending
+    score with surface dedupe capped at topK**topK — the two-pointer merge of
+    conceptualizer.py:456-484; phrase segmentation per F10."""
+    from .eventuality import dep_compound_segment
+
+    strs1 = probase_concepts(words, pos_tags, topk_map, top_k)
+    strs2: list[tuple[list[str], float]] = []
+    if dependencies:
+        segments = dep_compound_segment(
+            [tuple(d) for d in dependencies], len(words)
+        )
+        if any(len(s) > 1 for s in segments):
+            phrase_words = [" ".join(words[min(s): max(s) + 1]) for s in segments]
+            phrase_pos = [pos_tags[s[0]] for s in segments]
+            strs2 = probase_concepts(phrase_words, phrase_pos, topk_map, top_k)
+
+    if not strs2:
+        return strs1
+    max_len = top_k**top_k
+    used: set[str] = set()
+    out: list[tuple[list[str], float]] = []
+    p1 = p2 = 0
+    while p1 < len(strs1) and p2 < len(strs2) and len(used) < max_len:
+        if strs1[p1][1] > strs2[p2][1]:
+            cand = strs1[p1]
+            p1 += 1
+        else:
+            cand = strs2[p2]
+            p2 += 1
+        key = " ".join(cand[0])
+        if key not in used:
+            used.add(key)
+            out.append(cand)
+    for rest, ptr in ((strs1, p1), (strs2, p2)):
+        for cand in rest[ptr:]:
+            if len(used) >= max_len:
+                break
+            key = " ".join(cand[0])
+            if key not in used:
+                used.add(key)
+                out.append(cand)
+    return out
+
+
 def conceptualize(
     events: DataFrame,
     topk_map: dict[str, list[tuple[str, float]]],
@@ -189,16 +240,24 @@ def conceptualize(
             rows = []
             has_counters = "ner_counters" in pdf.columns
             ner_src = pdf["ner_counters"] if has_counters else [None] * len(pdf)
-            for eid, rel, words, pos_tags, ners, freq in zip(
+            dep_src = pdf["dependencies"] if "dependencies" in pdf.columns else [None] * len(pdf)
+            for eid, rel, words, pos_tags, ners, deps, freq in zip(
                 pdf["eid"], pdf["relation"], pdf["words"], pdf["pos_tags"],
-                ner_src, pdf["frequency"],
+                ner_src, dep_src, pdf["frequency"],
             ):
                 words = list(words)
                 pos_tags = list(pos_tags)
                 if has_counters:
                     ners = dominant_ner(ners)
                 seeded = seed_rule_words(words, pos_tags, ners)
-                for cw, score in probase_concepts(seeded, pos_tags, topk_map, top_k):
+                dep_triples = (
+                    [(d["gov"], d["rel"], d["dep"]) for d in deps]
+                    if deps is not None
+                    else None
+                )
+                for cw, score in probase_concepts_with_phrases(
+                    seeded, pos_tags, dep_triples, topk_map, top_k
+                ):
                     rows.append(
                         {
                             "cid": cid_of(cw),
@@ -216,7 +275,10 @@ def conceptualize(
 
     cols = [
         c
-        for c in ("eid", "relation", "words", "pos_tags", "ner_counters", "frequency")
+        for c in (
+            "eid", "relation", "words", "pos_tags", "ner_counters",
+            "dependencies", "frequency",
+        )
         if c in events.columns
     ]
     return events.select(cols).mapInPandas(run, schema=schema)

@@ -63,6 +63,66 @@ def generate_eid(dependencies: list[Dep], words: list[str], pos_tags: list[str])
     return hashlib.sha1(msg.encode("utf-8")).hexdigest()
 
 
+def dep_compound_segment(
+    dependencies: list[Dep], n_words: int
+) -> list[tuple[int, ...]]:
+    """F10 — merge ``compound*`` dependency chains into contiguous phrase
+    spans (object.py:508-576, duplicated conceptualizer.py:568-636).
+    Returns one tuple of word indices per segment, in word order; singleton
+    tuples for non-compound words."""
+    tmp = sorted(
+        (g, d) for g, rel, d in dependencies if rel.startswith("compound")
+    )
+    merged: list[tuple[int, ...]] = []
+    used: set[int] = set()
+    for i in range(len(tmp)):
+        if i in used:
+            continue
+        s1 = tmp[i]
+        for j in range(i + 1, len(tmp)):
+            if j in used:
+                continue
+            s2 = tmp[j]
+            if s2[0] in set(s1[1:]):
+                s1 = s1 + s2[1:]
+                used.add(j)
+            elif s1[0] in set(s2[1:]):
+                s1 = s2 + s1[1:]
+                used.add(j)
+            elif s1[0] == s2[0]:
+                s1 = s1 + s2[1:]
+                used.add(j)
+            else:
+                break
+        used.add(i)
+        srt = sorted(s1)
+        if srt[-1] - srt[0] == len(srt) - 1:
+            merged.append(s1)
+        else:
+            # split non-contiguous runs (object.py:544-558)
+            k1, k2 = 0, 1
+            idx = {v: p for p, v in enumerate(s1)}
+            while k2 < len(srt):
+                if srt[k2 - 1] + 1 != srt[k2]:
+                    merged.append(tuple(s1[idx[srt[k]]] for k in range(k1, k2)))
+                    k1 = k2
+                k2 += 1
+            if k1 != k2:
+                merged.append(tuple(s1[idx[srt[k]]] for k in range(k1, k2)))
+
+    in_compound = {i for t in merged for i in t}
+    merged_by_start = {min(t): t for t in merged}
+    out: list[tuple[int, ...]] = []
+    w = 0
+    while w < n_words:
+        if w not in in_compound:
+            out.append((w,))
+        elif w in merged_by_start:
+            out.append(merged_by_start[w])
+        w += 1
+    return out
+
+
 def build_eventuality(
     dependencies: list[Dep],
     skeleton_dependencies: list[Dep],

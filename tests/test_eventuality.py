@@ -78,3 +78,15 @@ def test_same_content_same_eid_distinct_content_distinct():
     parsed2 = {"lemmas": ["a", "c"], "pos_tags": ["DT", "NN"], "ners": None}
     e3 = build_eventuality([(1, "det", 0)], [(1, "det", 0)], parsed2)
     assert e3["eid"] != e1["eid"]
+
+
+def test_dep_compound_segment():
+    from folkscope_spark.eventuality import dep_compound_segment
+
+    # "leather wallet case" chain: compound(2,0), compound(2,1)
+    deps = [(2, "compound", 0), (2, "compound", 1), (3, "obj", 2)]
+    segs = dep_compound_segment(deps, 4)
+    assert segs == [(2, 0, 1), (3,)]
+
+    # no compounds: singletons
+    assert dep_compound_segment([(1, "det", 0)], 2) == [(0,), (1,)]
