@@ -63,6 +63,49 @@ def threshold(df: DataFrame, ts: float, col: str = "plausibility") -> DataFrame:
     return df.filter(F.col(col) >= F.lit(ts))
 
 
+def classifier_metrics(scored: DataFrame, ts: float = 0.5, label_col: str = "label") -> dict:
+    """accuracy / precision / recall / F1 at threshold ``ts``
+    (run_classification.py:534-550 semantics; labels 'v'/'i').  One pass."""
+    agg = scored.select(
+        ((F.col("plausibility") >= ts) & (F.col(label_col) == "v")).cast("long").alias("tp"),
+        ((F.col("plausibility") >= ts) & (F.col(label_col) == "i")).cast("long").alias("fp"),
+        ((F.col("plausibility") < ts) & (F.col(label_col) == "v")).cast("long").alias("fn"),
+        ((F.col("plausibility") < ts) & (F.col(label_col) == "i")).cast("long").alias("tn"),
+    ).agg(
+        F.sum("tp").alias("tp"), F.sum("fp").alias("fp"),
+        F.sum("fn").alias("fn"), F.sum("tn").alias("tn"),
+    ).collect()[0]
+    tp, fp, fn, tn = (agg[k] or 0 for k in ("tp", "fp", "fn", "tn"))
+    total = tp + fp + fn + tn
+    precision = tp / (tp + fp) if tp + fp else 0.0
+    recall = tp / (tp + fn) if tp + fn else 0.0
+    f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
+    return {
+        "accuracy": (tp + tn) / total if total else 0.0,
+        "precision": precision,
+        "recall": recall,
+        "f1": f1,
+    }
+
+
+def select_threshold(
+    scored: DataFrame, min_precision: float, label_col: str = "label"
+) -> float | None:
+    """Smallest threshold achieving ``min_precision`` on the PR sweep
+    (precision_recall_selection.py:30-54: walk thresholds, pick by target
+    precision)."""
+    curve = (
+        pr_curve(scored, label_col)
+        .select("plausibility", "precision")
+        .collect()
+    )
+    best = None
+    for r in curve:
+        if r["precision"] >= min_precision:
+            best = r["plausibility"]  # lowest score (deepest cut) still meeting it
+    return best
+
+
 def pr_curve(scored: DataFrame, label_col: str = "label") -> DataFrame:
     """W4 PR-curve sweep as a window computation
     (precision_recall_selection.py:30-54): order by score desc, running
