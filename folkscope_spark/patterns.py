@@ -34,6 +34,8 @@ from .graphs import (
     check_connect,
     dedupe_by_subsumption,
     ends_forbidden,
+    get_subisomorphisms,
+    graph_of,
     normalize_pattern,
     sort_patterns,
 )
@@ -196,6 +198,40 @@ def finish_patterns(
             "anchor_len": lens.get(rel, 0),
         }
     return out
+
+
+def merge_pattern_sets(mined: dict[str, dict]) -> dict:
+    """pattern_merge semantics (U1 + A5; pattern_merge.py:12-60 *intended*
+    behavior — the shipped script crashes, SURVEY.md §3.4): union all
+    relations' frequent patterns, sum counts of identical canonical patterns,
+    drop same-size isomorphic duplicates (absorbing their counts into the
+    survivor), rebuild the hierarchy.  The merged set drives extraction for
+    the template-less ``open`` relation (scripts/run_match.sh:13-16)."""
+    freq_map: dict[Pattern, int] = {}
+    for info in mined.values():
+        for pat, freq in zip(info["patterns"], info["freqs"]):
+            freq_map[pat] = freq_map.get(pat, 0) + int(freq)
+    if not freq_map:
+        return {"patterns": [], "freqs": [], "hierarchy": [], "anchor_len": 0}
+    survivors = dedupe_by_subsumption(list(freq_map))
+    survivor_set = set(survivors)
+    # absorb dropped duplicates' counts into their isomorphic survivor
+    for pat, freq in freq_map.items():
+        if pat in survivor_set:
+            continue
+        pg = graph_of(pat)
+        for s in survivors:
+            if len(s[0]) == len(pat[0]) and len(s[1]) == len(pat[1]):
+                if get_subisomorphisms(pg, graph_of(s), limit=1):
+                    freq_map[s] = freq_map.get(s, 0) + freq
+                    break
+    ordered = sort_patterns(survivors)
+    return {
+        "patterns": ordered,
+        "freqs": [freq_map[p] for p in ordered],
+        "hierarchy": build_hierarchy(ordered),
+        "anchor_len": 0,
+    }
 
 
 def patterns_to_df(spark, mined: dict[str, dict]) -> DataFrame:

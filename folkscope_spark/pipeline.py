@@ -126,6 +126,10 @@ def run_pipeline(
         "mine_finish",
         lambda: patterns.finish_patterns(pattern_counts, sent_counts),
     )
+    # template-less `open` relation matches against the merged cross-relation
+    # pattern set (scripts/run_match.sh:13-16; pattern_merge semantics)
+    if mined:
+        mined["open"] = patterns.merge_pattern_sets(mined)
 
     # -- matching ------------------------------------------------------------
     events = timed(

@@ -100,11 +100,12 @@ def oracle_triples(
     for subj, rel, tail in assertions:
         subj_by_rel_tail.setdefault((rel, tail), []).append(subj)
 
+    # phase 1: mine per-relation frequent pattern sets
+    mined: dict[str, dict] = {}
     for rel, parses in parsed_by_rel.items():
         alen = lens.get(rel, 0)
         if alen == 0:
             continue
-        # anchored mining with corpus weights
         ctr: Counter = Counter()
         n_sent = 0
         for parsed, w in parses.values():
@@ -122,7 +123,22 @@ def oracle_triples(
         if not kept:
             continue
         ordered = sort_patterns(dedupe_by_subsumption(list(kept)))
-        hierarchy = build_hierarchy(ordered)
+        mined[rel] = {
+            "patterns": ordered,
+            "freqs": [kept[p] for p in ordered],
+            "hierarchy": build_hierarchy(ordered),
+        }
+    if mined:
+        from folkscope_spark.patterns import merge_pattern_sets
+
+        mined["open"] = merge_pattern_sets(mined)
+
+    # phase 2: match every relation's sentences (open uses the merged set)
+    for rel, parses in parsed_by_rel.items():
+        if rel not in mined:
+            continue
+        ordered = mined[rel]["patterns"]
+        hierarchy = mined[rel]["hierarchy"]
         prepared = [(p, graph_of(p)) for p in ordered]
 
         for tail, (parsed, w) in parses.items():
