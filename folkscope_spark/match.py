@@ -162,9 +162,9 @@ def match_patterns(parsed: DataFrame, mined: dict) -> DataFrame:
         for pdf in batches:
             rows = []
             weights = pdf["weight"] if has_weight else [1.0] * len(pdf)
-            for sid, rel, tokens, pos_tags, lemmas, ners, dep_structs, mentions, w in zip(
-                pdf["sid"], pdf["relation"], pdf["tokens"], pdf["pos_tags"],
-                pdf["lemmas"], pdf["ners"], pdf["dependencies"], pdf["mentions"],
+            for sid, rel, pos_tags, lemmas, ners, dep_structs, w in zip(
+                pdf["sid"], pdf["relation"], pdf["pos_tags"],
+                pdf["lemmas"], pdf["ners"], pdf["dependencies"],
                 weights,
             ):
                 if rel not in prepared:
@@ -204,8 +204,8 @@ def match_patterns(parsed: DataFrame, mined: dict) -> DataFrame:
                 ],
             )
 
-    cols = ["sid", "relation", "tokens", "pos_tags", "lemmas", "ners",
-            "dependencies", "mentions"] + (["weight"] if has_weight else [])
+    cols = ["sid", "relation", "pos_tags", "lemmas", "ners",
+            "dependencies"] + (["weight"] if has_weight else [])
     return parsed.select(cols).mapInPandas(run, schema=EVENTUALITIES)
 
 

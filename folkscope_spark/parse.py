@@ -31,7 +31,9 @@ PARSED_W = T.StructType(
 )
 
 
-def parse_assertions(assertions: DataFrame, dedupe: bool = True) -> DataFrame:
+def parse_assertions(
+    assertions: DataFrame, dedupe: bool = True, slim: bool = False
+) -> DataFrame:
     """assertions(tail,...) -> parsed rows.
 
     The cleaner runs first inside the same UDF (byte-contract P6); empty or
@@ -70,6 +72,17 @@ def parse_assertions(assertions: DataFrame, dedupe: bool = True) -> DataFrame:
             F.lit(1.0).alias("weight"),
         )
 
+    # slim mode drops columns the matcher never reads (tokens, mentions,
+    # text): at web scale the Arrow transfer + cache of the parsed table is
+    # the dominant non-scaling cost, and these are its fattest columns.
+    if slim:
+        out_cols = ["sid", "relation", "weight", "pos_tags", "lemmas", "ners",
+                    "dependencies"]
+    else:
+        out_cols = ["sid", "relation", "weight", "text", "tokens", "pos_tags",
+                    "lemmas", "ners", "dependencies", "mentions"]
+    schema = T.StructType([f for f in PARSED_W.fields if f.name in out_cols])
+
     def run(batches):
         for pdf in batches:
             rows = []
@@ -82,32 +95,26 @@ def parse_assertions(assertions: DataFrame, dedupe: bool = True) -> DataFrame:
                 parsed = parse_sentence(cleaned)
                 if not parsed["dependencies"]:
                     continue
-                rows.append(
-                    {
-                        "sid": sid,
-                        "relation": rel,
-                        "weight": weight,
-                        "text": parsed["text"],
-                        "tokens": parsed["tokens"],
-                        "pos_tags": parsed["pos_tags"],
-                        "lemmas": parsed["lemmas"],
-                        "ners": parsed["ners"],
-                        "dependencies": [
-                            {"gov": g, "rel": r, "dep": d}
-                            for g, r, d in parsed["dependencies"]
-                        ],
-                        "mentions": parsed["mentions"],
-                    }
-                )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "sid", "relation", "weight", "text", "tokens", "pos_tags",
-                    "lemmas", "ners", "dependencies", "mentions",
-                ],
-            )
+                row = {
+                    "sid": sid,
+                    "relation": rel,
+                    "weight": weight,
+                    "pos_tags": parsed["pos_tags"],
+                    "lemmas": parsed["lemmas"],
+                    "ners": parsed["ners"],
+                    "dependencies": [
+                        {"gov": g, "rel": r, "dep": d}
+                        for g, r, d in parsed["dependencies"]
+                    ],
+                }
+                if not slim:
+                    row["text"] = parsed["text"]
+                    row["tokens"] = parsed["tokens"]
+                    row["mentions"] = parsed["mentions"]
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=out_cols)
 
-    return src.mapInPandas(run, schema=PARSED_W)
+    return src.mapInPandas(run, schema=schema)
 
 
 def clean_pages(pages: DataFrame) -> DataFrame:

@@ -107,7 +107,7 @@ def run_pipeline(
     # -- parsing -------------------------------------------------------------
     parsed = timed(
         "parse",
-        lambda: store.stage(spark, "parsed", fp, lambda: parse.parse_assertions(scored, dedupe=dedupe_parse)),
+        lambda: store.stage(spark, "parsed", fp, lambda: parse.parse_assertions(scored, dedupe=dedupe_parse, slim=True)),
     )
 
     # -- pattern mining ------------------------------------------------------
