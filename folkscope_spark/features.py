@@ -1,0 +1,111 @@
+"""Downstream-feature stage (J7 + A6 + D12 export).
+
+Spark rewrite of the reference recommendation preprocessing
+(``/root/reference/src/recommendation/preprocess.py``):
+
+* **J7** — eventuality-text -> embedding join (``preprocess.py:212-228``):
+  the SBERT call is replaced by a deterministic hashed-n-gram sentence
+  embedding (vectorized numpy in a pandas UDF; same 384-dim interface so a
+  real encoder slots in);
+* **A6** — per-item mean of incident-edge embeddings
+  (``preprocess.py:216-237``): explode both pair endpoints, element-wise mean
+  via ``posexplode`` + avg (single shuffle, no Python);
+* **J8/D12** — contiguous entity/relation id dictionaries + integer triple
+  export (``preprocess.py:101-127``) — the TransE-style training input.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+from .dictionary import build_dictionary
+
+EMBED_DIM = 384  # SBERT-compatible interface (preprocess.py:246)
+
+
+def _embed_batch(texts: pd.Series) -> pd.Series:
+    """Deterministic hashed 3-gram sentence embedding, L2-normalized."""
+    import hashlib
+
+    out = []
+    for t in texts:
+        v = np.zeros(EMBED_DIM, dtype=np.float64)
+        toks = (t or "").lower().split()
+        grams = toks + [" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)]
+        for g in grams:
+            h = hashlib.md5(g.encode("utf-8")).digest()
+            idx = int.from_bytes(h[:4], "big") % EMBED_DIM
+            sign = 1.0 if h[4] & 1 else -1.0
+            v[idx] += sign
+        n = np.linalg.norm(v)
+        out.append((v / n if n else v).astype(np.float32))
+    return pd.Series(out)
+
+
+def embed_sentences(df: DataFrame, text_col: str = "obj") -> DataFrame:
+    """J7: attach a deterministic sentence embedding column."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.ArrayType(T.FloatType()))
+    def embed(texts: pd.Series) -> pd.Series:
+        return _embed_batch(texts)
+
+    return df.withColumn("embedding", embed(F.col(text_col)))
+
+
+def item_feature_means(triples_emb: DataFrame) -> DataFrame:
+    """A6: per-item mean embedding over incident KG edges.  The subj is the
+    "{a}-{b}" composite head — both endpoints receive the edge's embedding
+    (preprocess.py:216-237).  Pure relational: explode dims + avg."""
+    items = triples_emb.select(
+        F.explode(
+            F.array(
+                F.split("subj", "-")[0],
+                F.element_at(F.split("subj", "-"), -1),
+            )
+        ).alias("item"),
+        "embedding",
+    )
+    return (
+        items.select("item", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("item", "dim")
+        .agg(F.avg("v").alias("mv"))
+        .groupBy("item")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("dim", "mv"))).alias("s")
+        )
+        .withColumn("feature", F.expr("transform(s, x -> float(x.mv))"))
+        .select("item", "feature")
+    )
+
+
+def export_kg_tensors(triples: DataFrame) -> dict[str, DataFrame]:
+    """D12/J8: contiguous integer ids + (head_id, rel_id, tail_id) triple
+    tensor — the reference's TransE input (preprocess.py:101-127).
+    Dictionaries broadcast back onto the fact table."""
+    ent = build_dictionary(
+        triples.select(F.col("subj").alias("key"))
+        .union(triples.select(F.col("obj").alias("key")))
+        .distinct(),
+        "key",
+    )
+    rel = build_dictionary(triples, "pred")
+    facts = (
+        triples.join(
+            F.broadcast(ent).withColumnRenamed("key", "subj").withColumnRenamed("id", "head_id"),
+            "subj",
+        )
+        .join(
+            F.broadcast(rel).withColumnRenamed("key", "pred").withColumnRenamed("id", "rel_id"),
+            "pred",
+        )
+        .join(
+            F.broadcast(ent).withColumnRenamed("key", "obj").withColumnRenamed("id", "tail_id"),
+            "obj",
+        )
+        .select("head_id", "rel_id", "tail_id")
+    )
+    return {"entities": ent, "relations": rel, "facts": facts}

@@ -126,6 +126,26 @@ def extract_from_sentence(
     return results
 
 
+def skeleton_subset_dedupe(eventualities: list[dict]) -> list[dict]:
+    """U4 (extractor.py:480-507): among one sentence's extracted
+    eventualities, drop any whose skeleton index set is a subset of
+    another's.  The reference's ASER-style extractor applies this; its
+    pattern_match entry point does not — exposed here as an opt-in
+    post-filter (``match_patterns(..., subset_dedupe=True)``)."""
+    keep = [True] * len(eventualities)
+    sets = [set(ev.get("skeleton_indices") or []) for ev in eventualities]
+    order = sorted(range(len(sets)), key=lambda i: len(sets[i]), reverse=True)
+    for a in range(len(order)):
+        i = order[a]
+        if not keep[i]:
+            continue
+        for b in range(a + 1, len(order)):
+            j = order[b]
+            if keep[j] and sets[j] and sets[j] <= sets[i] and i != j:
+                keep[j] = False
+    return [ev for k, ev in zip(keep, eventualities) if k]
+
+
 class _PatternCache:
     """Per-executor cache of DiGraph-ified broadcast patterns."""
 
@@ -149,7 +169,9 @@ class _PatternCache:
 _cache = _PatternCache()
 
 
-def match_patterns(parsed: DataFrame, mined: dict) -> DataFrame:
+def match_patterns(
+    parsed: DataFrame, mined: dict, subset_dedupe: bool = False
+) -> DataFrame:
     """parsed (D6) -> eventualities (D8).  ``mined`` is the driver-side
     pattern dictionary from :func:`folkscope_spark.patterns.finish_patterns`;
     Spark serializes it into the UDF closure (same role as a broadcast — a
@@ -176,7 +198,10 @@ def match_patterns(parsed: DataFrame, mined: dict) -> DataFrame:
                     "ners": list(ners),
                     "dependencies": [(d["gov"], d["rel"], d["dep"]) for d in dep_structs],
                 }
-                for ev in extract_from_sentence(parsed_row, patterns, hierarchy):
+                extracted = extract_from_sentence(parsed_row, patterns, hierarchy)
+                if subset_dedupe:
+                    extracted = skeleton_subset_dedupe(extracted)
+                for ev in extracted:
                     rows.append(
                         {
                             "eid": ev["eid"],
