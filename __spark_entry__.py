@@ -587,6 +587,47 @@ def q_fs_triples(spark, sf):  # flagship pipeline at small scale
     return r["triples"].select("subj", "pred", "obj", F.round("score", 4).alias("score"))
 
 
+def q_fs_sentence_embed(spark, sf):  # J7 deterministic sentence embedding
+    from folkscope_spark.features import embed_sentences
+
+    d = _t(spark, sf, "documents").select("doc_id", F.col("text").alias("obj"))
+    e = embed_sentences(d)
+    return e.select(
+        "doc_id",
+        F.round(F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")), 4).alias("sq_norm"),
+        F.size("embedding").cast("long").alias("dim"),
+    )
+
+
+def q_fs_kg_tensors(spark, sf):  # D12/J8 integer triple export
+    from folkscope_spark.features import export_kg_tensors
+
+    t = (
+        _t(spark, sf, "lineitem")
+        .limit(5000)
+        .select(
+            F.col("l_orderkey").cast("string").alias("subj"),
+            F.col("l_returnflag").alias("pred"),
+            F.col("l_partkey").cast("string").alias("obj"),
+            F.col("l_discount").alias("score"),
+        )
+    )
+    out = export_kg_tensors(t)
+    return out["facts"].groupBy("rel_id").agg(F.count("*").cast("long").alias("n"))
+
+
+def q_fs_multimodal_features(spark, sf):  # multimodal decode plumbing
+    from folkscope_spark.multimodal import assets_from_pages, extract_features
+    from folkscope_spark.synthetic import pages_df
+
+    assets = assets_from_pages(pages_df(spark, 200, 40))
+    f = extract_features(assets)
+    return f.groupBy("kind").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.avg("n_bytes"), 2).alias("avg_bytes"),
+    )
+
+
 def q_fs_canonicalize(spark, sf):  # MinHash-LSH + CC over document texts
     from folkscope_spark.canonicalize import canonicalize_surface_forms
 
@@ -643,6 +684,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fs_parse_light": q_fs_parse_light,
         "fs_triples": q_fs_triples,
         "fs_canonicalize": q_fs_canonicalize,
+        "fs_sentence_embed": q_fs_sentence_embed,
+        "fs_kg_tensors": q_fs_kg_tensors,
+        "fs_multimodal_features": q_fs_multimodal_features,
     }
 
 
