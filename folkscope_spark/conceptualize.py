@@ -213,7 +213,7 @@ def conceptualize(
 
     schema = (
         "cid string, eid string, relation string, concept_text string, "
-        "score double, frequency double"
+        "pattern string, score double, frequency double"
     )
 
     def dominant_ner(counters) -> list | None:
@@ -241,9 +241,10 @@ def conceptualize(
             has_counters = "ner_counters" in pdf.columns
             ner_src = pdf["ner_counters"] if has_counters else [None] * len(pdf)
             dep_src = pdf["dependencies"] if "dependencies" in pdf.columns else [None] * len(pdf)
-            for eid, rel, words, pos_tags, ners, deps, freq in zip(
+            pat_src = pdf["pattern_sig"] if "pattern_sig" in pdf.columns else [None] * len(pdf)
+            for eid, rel, words, pos_tags, ners, deps, pat, freq in zip(
                 pdf["eid"], pdf["relation"], pdf["words"], pdf["pos_tags"],
-                ner_src, dep_src, pdf["frequency"],
+                ner_src, dep_src, pat_src, pdf["frequency"],
             ):
                 words = list(words)
                 pos_tags = list(pos_tags)
@@ -264,20 +265,21 @@ def conceptualize(
                             "eid": eid,
                             "relation": rel,
                             "concept_text": " ".join(cw),
+                            "pattern": pat,
                             "score": float(score),
                             "frequency": float(freq),
                         }
                     )
             yield pd.DataFrame(
                 rows,
-                columns=["cid", "eid", "relation", "concept_text", "score", "frequency"],
+                columns=["cid", "eid", "relation", "concept_text", "pattern", "score", "frequency"],
             )
 
     cols = [
         c
         for c in (
             "eid", "relation", "words", "pos_tags", "ner_counters",
-            "dependencies", "frequency",
+            "dependencies", "pattern_sig", "frequency",
         )
         if c in events.columns
     ]
@@ -286,9 +288,21 @@ def conceptualize(
 
 def aggregate_concepts(concept_rows: DataFrame) -> DataFrame:
     """A4 (conceptualizer.py:649-663): cid score = sum(score * frequency);
-    collect the instance list per concept."""
-    return concept_rows.groupBy("cid").agg(
+    collect the instance list per concept; A7 (object.py:713-719): dominant
+    pattern = most frequent pattern label among instances (mode via
+    count + rank-1 window, W1)."""
+    agg = concept_rows.groupBy("cid").agg(
         F.first("concept_text").alias("concept_text"),
         F.sum(F.col("score") * F.col("frequency")).alias("cscore"),
         F.collect_list(F.struct("eid", "score")).alias("instances"),
     )
+    pat_counts = concept_rows.groupBy("cid", "pattern").agg(
+        F.sum("frequency").alias("pfreq")
+    )
+    w = Window.partitionBy("cid").orderBy(F.desc("pfreq"), F.asc("pattern"))
+    dominant = (
+        pat_counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("cid", F.col("pattern").alias("dominant_pattern"))
+    )
+    return agg.join(dominant, "cid", "left")

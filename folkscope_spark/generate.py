@@ -51,18 +51,28 @@ def template_table(spark) -> DataFrame:
     )
 
 
-def build_prompts(pairs: DataFrame, items: DataFrame, templates: DataFrame) -> DataFrame:
+def build_prompts(
+    pairs: DataFrame,
+    items: DataFrame,
+    templates: DataFrame,
+    target_cate: str | None = None,
+) -> DataFrame:
     """pairs x items x items x 21 relations -> prompt rows.
 
     Broadcast equi-joins replace the reference's dict lookups
     (generation.py:170-185); the combined-title-length filter is P3
-    (generation.py:217-220); pair_key/md5 key per utils.py:42-49.
+    (generation.py:217-220); ``target_cate`` applies the P4 category filter
+    (generation.py:173); pair_key/md5 key per utils.py:42-49.
     """
     a = items.select(
-        F.col("asin").alias("item_a"), F.col("title").alias("title_a")
+        F.col("asin").alias("item_a"),
+        F.col("title").alias("title_a"),
+        F.col("top_cate").alias("top_cate_a"),
     )
     b = items.select(
-        F.col("asin").alias("item_b"), F.col("title").alias("title_b")
+        F.col("asin").alias("item_b"),
+        F.col("title").alias("title_b"),
+        F.col("top_cate").alias("top_cate_b"),
     )
     enriched = (
         pairs.join(F.broadcast(a), "item_a")  # inner join drops missing asins
@@ -71,6 +81,8 @@ def build_prompts(pairs: DataFrame, items: DataFrame, templates: DataFrame) -> D
             F.size(F.split("title_a", " ")) + F.size(F.split("title_b", " ")) <= 50
         )
     )
+    if target_cate is not None:
+        enriched = category_filter(enriched, target_cate)
     return (
         enriched.crossJoin(F.broadcast(templates))
         .withColumn(
@@ -92,6 +104,29 @@ def build_prompts(pairs: DataFrame, items: DataFrame, templates: DataFrame) -> D
         # P5 input-length guard (generation.py:96-99: skip over-long prompts)
         .filter(F.length("prompt") <= 2048)
         .select("item_a", "item_b", "relation", "pair_key", "key", "prompt")
+    )
+
+
+def category_filter(pairs_enriched: DataFrame, target_cate: str) -> DataFrame:
+    """P4 (generation.py:173): keep a pair when either item's top category
+    matches the target.  Expects top_cate_a/top_cate_b columns."""
+    return pairs_enriched.filter(
+        (F.col("top_cate_a") == target_cate) | (F.col("top_cate_b") == target_cate)
+    )
+
+
+SKIP_WORDS = ["click", "http", "www", "login", "cookie", "javascript"]
+
+
+def skip_words_filter(parsed: DataFrame, skip_words: list[str] | None = None) -> DataFrame:
+    """P8 (extractor.py:337-339): drop sentences containing any skip word —
+    pure columnar ``arrays_overlap`` against a literal array."""
+    words = skip_words or SKIP_WORDS
+    return parsed.filter(
+        ~F.arrays_overlap(
+            F.transform("tokens", lambda x: F.lower(x)),
+            F.array(*[F.lit(w) for w in words]),
+        )
     )
 
 

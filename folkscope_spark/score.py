@@ -124,3 +124,12 @@ def pr_curve(scored: DataFrame, label_col: str = "label") -> DataFrame:
         .withColumn("precision", F.col("n_pos") / F.col("n_kept"))
         .withColumn("recall", F.col("n_pos") / F.lit(max(total_pos, 1)))
     )
+
+
+def softmax(x):
+    """F7 — stable softmax (reference utils.py:402-406; the classifier's
+    2-logit softmax P(valid) equals sigmoid(logit_v - logit_i), which is the
+    form the surrogate uses)."""
+    x = np.asarray(x, dtype=np.float64)
+    e_x = np.exp(x - np.max(x))
+    return e_x / e_x.sum()

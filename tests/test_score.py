@@ -84,3 +84,20 @@ def test_threshold_filter(spark):
     assert threshold(df, 0.9).count() == 1
     assert threshold(df, 0.5).count() == 2
     assert threshold(df, 0.0).count() == 3
+
+
+def test_softmax_reference_parity():
+    import numpy as np
+    from folkscope_spark.score import softmax
+
+    # oracle re-executed from the reference source (utils.py:402-406)
+    def ref(x):
+        x = np.asarray(x)
+        e = np.exp(x - np.max(x))
+        return e / e.sum()
+
+    for v in ([0.0, 1.0], [3.5, -2.0, 0.1], [100.0, 100.0]):
+        assert softmax(v) == pytest.approx(ref(v))
+    # 2-class softmax == sigmoid of the logit difference
+    p = softmax([2.0, 0.5])[0]
+    assert p == pytest.approx(1 / (1 + np.exp(-(2.0 - 0.5))))
