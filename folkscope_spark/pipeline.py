@@ -57,10 +57,19 @@ def run_pipeline(
         return out
 
     class _MemStore:
-        """Storeless stand-in: cache + materialize each stage boundary."""
+        """Storeless stand-in.  Multi-consumer stages are cached and
+        materialized; single-consumer stages flow through lazily so Spark
+        fuses them into their consumer's job (fewer barriers, no redundant
+        materialization — e.g. generate+score+parse pipeline into one stage)."""
 
-        def stage(self, _spark, _name, _fp, build, **kw):
-            df = build().cache()
+        # concept_rows stays cached: two consumers (A4 agg + concept triples)
+        _LAZY = {"assertions", "pattern_counts", "canon_map"}
+
+        def stage(self, _spark, name, _fp, build, **kw):
+            df = build()
+            if name in self._LAZY:
+                return df
+            df = df.cache()
             df.count()
             return df
 
