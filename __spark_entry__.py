@@ -407,6 +407,70 @@ def q_ngram_shingles(spark, sf):  # word 3-gram shingling
     ).select("doc_id", F.size("shingles").cast("long").alias("n_shingles"))
 
 
+def q_dedup_ngram_jaccard(spark, sf):  # n-gram Jaccard near-dup pairs
+    d = _t(spark, sf, "documents")
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(0, greatest(size(split(text,' '))-3, 0)),"
+                    " i -> concat_ws(' ', slice(split(text,' '), i+1, 3)))"
+                )
+            )
+        ).alias("sh"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n"))
+    a = sh.select(F.col("doc_id").alias("id_a"), "sh")
+    b = sh.select(F.col("doc_id").alias("id_b"), "sh")
+    common = (
+        a.join(b, "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("long").alias("common"))
+    )
+    na = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"))
+    return (
+        common.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def q_dedup_cosine(spark, sf):  # embedding-cosine near-dup pairs
+    e = _t(spark, sf, "embeddings").limit(500)
+    norm = F.sqrt(
+        F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double"))
+    )
+    v = e.select("vec_id", "embedding", norm.alias("nrm"))
+    a = v.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("e_a"), F.col("nrm").alias("n_a")
+    )
+    b = v.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("e_b"), F.col("nrm").alias("n_b")
+    )
+    dot = F.aggregate(
+        F.zip_with("e_a", "e_b", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(dot / (F.col("n_a") * F.col("n_b")), 4))
+        .filter(F.col("cosine") >= 0.4)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def q_simhash(spark, sf):  # SimHash-style bit signature over token hashes
     d = _t(spark, sf, "documents")
     tok = d.select(
@@ -676,6 +740,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "minhash_band": q_minhash_band,
         "ngram_shingles": q_ngram_shingles,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_cosine": q_dedup_cosine,
         "simhash": q_simhash,
         "a6_vector_mean": q_a6_vector_mean,
         "embedding_norms": q_embedding_norms,
@@ -854,6 +920,28 @@ def oracle_sql() -> dict[str, str]:
         "ngram_shingles": (
             "SELECT doc_id, GREATEST(len(string_split(text, ' ')) - 2, 0)::BIGINT AS n_shingles "
             "FROM documents"
+        ),
+        "dedup_ngram_jaccard": (
+            "WITH sh AS (SELECT doc_id, unnest(list_distinct("
+            "list_transform(generate_series(1, greatest(len(string_split(text,' '))-2, 1)),"
+            " i -> array_to_string(string_split(text,' ')[i:i+2], ' ')))) AS sh FROM documents), "
+            "sizes AS (SELECT doc_id, COUNT(*)::BIGINT AS n FROM sh GROUP BY doc_id), "
+            "common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*)::BIGINT AS common "
+            "FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY id_a, id_b) "
+            "SELECT id_a, id_b, ROUND(common::DOUBLE / (na.n + nb.n - common), 6) AS jaccard "
+            "FROM common JOIN sizes na ON na.doc_id = id_a JOIN sizes nb ON nb.doc_id = id_b "
+            "WHERE common::DOUBLE / (na.n + nb.n - common) >= 0.5"
+        ),
+        "dedup_cosine": (
+            "WITH v AS (SELECT vec_id, embedding, "
+            "sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm "
+            "FROM (SELECT * FROM embeddings LIMIT 500)) "
+            "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+            "ROUND(list_sum(list_transform(generate_series(1, len(a.embedding)), "
+            "i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) / (a.nrm * b.nrm), 4) AS cosine "
+            "FROM v a JOIN v b ON a.vec_id < b.vec_id "
+            "WHERE list_sum(list_transform(generate_series(1, len(a.embedding)), "
+            "i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) / (a.nrm * b.nrm) >= 0.4"
         ),
         "simhash": (
             "WITH tok AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok "
