@@ -144,9 +144,15 @@ def main():
         kg["docs_per_sec"] = round(KG_PAGES / t_prod, 2)
         queries["kg_pipeline"] = round(t_prod, 3)
 
-        # scaling: same job, N=4 vs 4N=16 cores, CPU-bound (parity) config
-        t_lo = run_kg("local[4]", 4, SCALE_PAGES, dedupe=False, repeats=2)
-        t_hi = run_kg("local[16]", 16, SCALE_PAGES, dedupe=False, repeats=2)
+        # scaling: same job, N=4 vs 4N=16 cores, CPU-bound (parity) config.
+        # Legs are interleaved (4,16,4,16) so minute-scale co-tenant load
+        # swings on this shared host hit both sides of the ratio equally;
+        # min-of-2 per side takes the steady-state sample.
+        lo_walls, hi_walls = [], []
+        for _ in range(2):
+            lo_walls.append(run_kg("local[4]", 4, SCALE_PAGES, dedupe=False))
+            hi_walls.append(run_kg("local[16]", 16, SCALE_PAGES, dedupe=False))
+        t_lo, t_hi = min(lo_walls), min(hi_walls)
         eff = (t_lo / t_hi) / 4.0
         ceiling = cpu_ceiling(4, 16) / 4.0
         kg.update(
