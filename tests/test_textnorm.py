@@ -94,3 +94,16 @@ def test_split_long_text_paragraphs_first():
     a = "a" * 700
     b = "b" * 700
     assert split_long_text(f"{a}\n\n{b}", max_len=1024) == [a, b]
+
+
+def test_reference_parity_relation_drop():
+    """Pin the reference's observable propertOf/propertyOf typo behavior
+    (SURVEY.md §3.4): parity mode drops propertyOf from the minable set;
+    default mode mines all 20 non-open relations."""
+    from folkscope_spark.relations import minable_relations
+
+    default = minable_relations()
+    parity = minable_relations(reference_parity=True)
+    assert "propertyOf" in default and len(default) == 20
+    assert "propertyOf" not in parity and len(parity) == 19
+    assert "open" not in default
