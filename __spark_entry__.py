@@ -692,6 +692,72 @@ def q_fs_multimodal_features(spark, sf):  # multimodal decode plumbing
     )
 
 
+def q_fs_conceptualize(spark, sf):  # Probase conceptualization kernel (J3/T4/F11)
+    """Parses document prefixes into pseudo-eventualities and runs the full
+    reference-parity conceptualize UDF (seed rule + start_index masking +
+    combination search + seed-rule fallback).  Deterministic; rows-only check
+    (graph/heap kernel, not SQL-expressible)."""
+    import pandas as pd
+    from folkscope_spark.conceptualize import conceptualize
+    from folkscope_spark.nlp import parse_sentence
+
+    # fixed instance->concept likelihood table over the testdata vocabulary
+    # (the relational probase_topk build is oracle-tested separately)
+    topk_map = {
+        "table": [("structure", 0.6), ("object", 0.4)],
+        "query": [("request", 0.7), ("question", 0.3)],
+        "row": [("record", 1.0)],
+        "data": [("information", 0.8), ("asset", 0.2)],
+        "key": [("identifier", 1.0)],
+        "join": [("operation", 1.0)],
+        "filter": [("operation", 0.9), ("device", 0.1)],
+    }
+    d = _t(spark, sf, "documents").limit(300)
+
+    ev_schema = (
+        "eid string, relation string, words array<string>, "
+        "pos_tags array<string>, ners array<string>, "
+        "dependencies array<struct<gov:int,rel:string,dep:int>>, "
+        "pattern_sig string, frequency double"
+    )
+
+    def mk_events(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                p = parse_sentence(text[:160])
+                if not p["dependencies"]:
+                    continue
+                rows.append(
+                    {
+                        "eid": str(doc_id),
+                        "relation": "capableOf",
+                        "words": [w.lower() for w in p["lemmas"]],
+                        "pos_tags": p["pos_tags"],
+                        "ners": p["ners"],
+                        "dependencies": [
+                            {"gov": g, "rel": r, "dep": dp}
+                            for g, r, dp in p["dependencies"]
+                        ],
+                        "pattern_sig": "s-v-o",
+                        "frequency": 1.0,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "eid", "relation", "words", "pos_tags", "ners",
+                    "dependencies", "pattern_sig", "frequency",
+                ],
+            )
+
+    events = d.select("doc_id", "text").mapInPandas(mk_events, schema=ev_schema)
+    c = conceptualize(events, topk_map, start_index_mode="none")
+    return c.select(
+        "pid", "cid", "eid", "concept_text", F.round("score", 6).alias("score")
+    )
+
+
 def q_fs_canonicalize(spark, sf):  # MinHash-LSH + CC over document texts
     from folkscope_spark.canonicalize import canonicalize_surface_forms
 
@@ -749,6 +815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fs_clean_text": q_fs_clean_text,
         "fs_parse_light": q_fs_parse_light,
         "fs_triples": q_fs_triples,
+        "fs_conceptualize": q_fs_conceptualize,
         "fs_canonicalize": q_fs_canonicalize,
         "fs_sentence_embed": q_fs_sentence_embed,
         "fs_kg_tensors": q_fs_kg_tensors,

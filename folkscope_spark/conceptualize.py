@@ -11,9 +11,38 @@ Spark-first rewrite of ``/root/reference/src/pattern/conceptualizer.py``:
   (``:526-566``: subsets of matched nouns x top-K concepts each, score =
   product of likelihoods, heap capped at ``topK**topK``) runs per-eventuality
   inside a ``mapInPandas`` batch — a per-row algorithm, not a relational op;
-* seed-rule NER rewrite: mention tokens typed by the gazetteer become
-  ``__TYPE__`` placeholder concepts before lookup (``:226-287``, F11);
-* cid = sha1(" ".join(words)) per ``object.py:702-711``.
+* seed-rule NER rewrite (``SeedRuleConceptualizer.conceptualize_from_text``,
+  ``:255-278``): words whose NER is in the reference's ``selected_ners`` set
+  become ``__TYPE__k`` placeholders (k indexed per (type, word), reused for
+  repeated words); person-pronouns (the reference's small
+  ``person_pronoun_set``, ``:239-241`` — note "it" is excluded) become
+  ``__PERSON__k``; every other NER label (ORGANIZATION, LOCATION, ...) passes
+  through untouched;
+* **template-prefix masking** (``start_index``, ``conceptualizer.py:305-330``):
+  the first ``start_index`` words are seed-rule-masked with UNK/O then restored
+  verbatim, and their POS is forced to FW so Probase never conceptualizes the
+  prompt-template prefix.  The call site passes
+  ``len(TEMPLATES[rel][1])`` — the **character** length of the POS string
+  (``:703``), documented as a unit bug (token count intended,
+  ``src/pattern/README.md:104``; SURVEY.md §3.4).  ``start_index_mode``
+  selects ``"tokens"`` (intended, default), ``"chars"`` (reference parity:
+  masks everything, so every eventuality falls through to the seed-rule
+  fallback), or ``"none"``;
+* **seed-rule fallback** (``:384-387``): when no Probase concept is produced,
+  emit ``(seed-rule words, 1.0)``.  The reference guards this with
+  ``concept_after_seed_rule != " ".join(words)`` — a list-vs-string compare
+  that is always True, so the fallback is unconditional; we pin that
+  observable behavior;
+* phrase-level second pass (``:332-382``): compound-chain segments (F10) are
+  conceptualized as phrases and merged with the word-level list by descending
+  score (two-pointer, surface-dedup, capped at ``topK**topK``).  The
+  *eventuality* path feeds word-level ``pos_tags`` to the phrase pass
+  (``:342,351``) — we reproduce that; spans follow the text path's correct
+  ``words[min:max+1]`` (``:428``) rather than ``Eventuality.phrases``'s
+  misread of its (start, end) pairs (``object.py:602-607`` vs ``:288-291``) —
+  a reference bug we document and do not copy (SURVEY.md §3.4 policy);
+* cid = sha1(" ".join(words)) per ``object.py:702-711``;
+  pid = sha1(cid + "$" + eid) per ``object.py:762-773`` (D10).
 """
 
 from __future__ import annotations
@@ -25,9 +54,23 @@ from itertools import combinations
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
-from .relations import PRONOUN_SET
+from .relations import POS_TEMPLATES
 
 DEFAULT_TOPK = 5
+
+# conceptualizer.py:231-236 — NER types the seed rule rewrites
+SELECTED_NERS = frozenset(
+    [
+        "TIME", "DATE", "DURATION", "MONEY", "PERCENT", "NUMBER", "COUNTRY",
+        "STATE_OR_PROVINCE", "CITY", "NATIONALITY", "PERSON", "RELIGION", "URL",
+    ]
+)
+SEED_CONCEPTS = frozenset("__%s__" % n for n in SELECTED_NERS)
+# conceptualizer.py:239-241 — note: "it" is NOT a person pronoun here
+PERSON_PRONOUN_SET = frozenset(
+    ["he", "she", "i", "him", "her", "me", "woman", "man", "boy", "girl", "you", "we", "they"]
+)
+PRONOUNS = PERSON_PRONOUN_SET | frozenset(["it"])
 
 
 def probase_topk(probase: DataFrame, k: int = DEFAULT_TOPK) -> DataFrame:
@@ -61,22 +104,72 @@ def cid_of(words: list[str]) -> str:
     return hashlib.sha1(" ".join(words).encode("utf-8")).hexdigest()
 
 
-def seed_rule_words(words: list[str], pos_tags: list[str], ners) -> list[str]:
-    """NER/pronoun placeholder rewrite (conceptualizer.py:226-287, light):
-    typed tokens -> __TYPE__k, personal pronouns -> __PERSON__k."""
-    out = list(words)
-    counter: dict[str, int] = {}
-    for i, w in enumerate(words):
-        typ = None
-        if ners is not None and i < len(ners) and ners[i] not in (None, "O"):
-            typ = ners[i]
-        elif w in PRONOUN_SET and not pos_tags[i].startswith("VB"):
-            typ = "PERSON"
-        if typ:
-            k = counter.get(typ, 0)
-            counter[typ] = k + 1
-            out[i] = "__%s__%d" % (typ, k)
+def pid_of(cid: str, eid: str) -> str:
+    """sha1(cid + "$" + eid) — ASERConceptInstancePair (object.py:762-773)."""
+    return hashlib.sha1((cid + "$" + eid).encode("utf-8")).hexdigest()
+
+
+def seed_rule_words(words: list[str], ners) -> list[str]:
+    """SeedRuleConceptualizer.conceptualize_from_text (conceptualizer.py:255-278):
+    selected-NER words -> ``__TYPE__k`` with k indexed per (type, word) —
+    a repeated word reuses its index; person pronouns -> ``__PERSON__k``;
+    everything else (including non-selected NER types) passes through."""
+    if ners is None:
+        ners = ["O"] * len(words)
+    out: list[str] = []
+    ners_dict: dict[str, dict[str, int]] = {n: {} for n in SELECTED_NERS}
+    for word, ner in zip(words, ners):
+        if ner in SELECTED_NERS:
+            d = ners_dict[ner]
+            if word not in d:
+                d[word] = len(d)
+            out.append("__%s__%d" % (ner, d[word]))
+        elif word in PERSON_PRONOUN_SET:
+            d = ners_dict["PERSON"]
+            if word not in d:
+                d[word] = len(d)
+            out.append("__PERSON__%d" % d[word])
+        else:
+            out.append(word)
     return out
+
+
+def seed_rule_masked(words: list[str], ners, start_index: int) -> list[str]:
+    """Seed rule with the template prefix masked (conceptualizer.py:316-327):
+    the first ``start_index`` words are replaced by UNK/O for the rewrite and
+    restored verbatim afterwards."""
+    if start_index <= 0:
+        return seed_rule_words(words, ners)
+    if ners is None:
+        ners = ["O"] * len(words)
+    masked = seed_rule_words(
+        ["UNK"] * start_index + list(words[start_index:]),
+        ["O"] * start_index + list(ners[start_index:]),
+    )
+    return list(words[:start_index]) + masked[start_index:]
+
+
+def _mask_pos(pos_tags: list[str], start_index: int) -> list[str]:
+    """FW-mask the template prefix so Probase skips it (conceptualizer.py:328-330)."""
+    if start_index <= 0:
+        return list(pos_tags)
+    return ["FW"] * start_index + list(pos_tags[start_index:])
+
+
+def template_start_index(relation: str, mode: str = "tokens") -> int:
+    """The reference call site passes ``len(TEMPLATES[rel][1])`` — the char
+    length of the POS template string (conceptualizer.py:703), while the
+    documented intent is the token count (src/pattern/README.md:104).
+    ``mode``: "tokens" (intended, default) | "chars" (reference parity) |
+    "none" (no masking)."""
+    if mode == "none":
+        return 0
+    tpl = POS_TEMPLATES.get(relation, ("", ""))[1]
+    if not tpl:
+        return 0
+    if mode == "chars":
+        return len(tpl)
+    return len(tpl.split())
 
 
 def probase_concepts(
@@ -88,7 +181,11 @@ def probase_concepts(
     """Bounded combination search (conceptualizer.py:494-566 port): for every
     non-empty subset of concept-matched nouns, substitute each with one of its
     top-K concepts; keep the ``topK**topK`` best by product score with the
-    reference's early-stop heuristic.  Returns [(concept_words, score)] desc."""
+    reference's early-stop heuristic.  Returns [(concept_words, score)] desc.
+
+    Noun selection (:500-508): NN* tag, non-empty word starting lowercase
+    (placeholders start with "_" and fail islower), not an exact seed-concept
+    rendering, not a pronoun (the reference's pronouns = person set + "it")."""
     word2indices: dict[str, list[int]] = {}
     for idx, w in enumerate(words):
         word2indices.setdefault(w, []).append(idx)
@@ -100,7 +197,7 @@ def probase_concepts(
         w = words[i]
         if not tag.startswith("NN") or not w or not w[0].islower():
             continue
-        if w.startswith("__") or w in PRONOUN_SET or w in word2concepts:
+        if w in SEED_CONCEPTS or w in PRONOUNS or w in word2concepts:
             continue
         concepts = topk_map.get(w)
         if concepts:
@@ -152,31 +249,13 @@ def probase_concepts(
     return [(ws, score) for score, ws in ordered]
 
 
-def probase_concepts_with_phrases(
-    words: list[str],
-    pos_tags: list[str],
-    dependencies,
-    topk_map: dict[str, list[tuple[str, float]]],
+def merge_concept_lists(
+    strs1: list[tuple[list[str], float]],
+    strs2: list[tuple[list[str], float]],
     top_k: int = DEFAULT_TOPK,
 ) -> list[tuple[list[str], float]]:
-    """Word-level pass + compound-phrase second pass, merged by descending
-    score with surface dedupe capped at topK**topK — the two-pointer merge of
-    conceptualizer.py:456-484; phrase segmentation per F10."""
-    from .eventuality import dep_compound_segment
-
-    strs1 = probase_concepts(words, pos_tags, topk_map, top_k)
-    strs2: list[tuple[list[str], float]] = []
-    if dependencies:
-        segments = dep_compound_segment(
-            [tuple(d) for d in dependencies], len(words)
-        )
-        if any(len(s) > 1 for s in segments):
-            phrase_words = [" ".join(words[min(s): max(s) + 1]) for s in segments]
-            phrase_pos = [pos_tags[s[0]] for s in segments]
-            strs2 = probase_concepts(phrase_words, phrase_pos, topk_map, top_k)
-
-    if not strs2:
-        return strs1
+    """Two-pointer merge by descending score with surface dedupe, capped at
+    ``topK**topK`` (conceptualizer.py:354-382)."""
     max_len = top_k**top_k
     used: set[str] = set()
     out: list[tuple[list[str], float]] = []
@@ -203,43 +282,156 @@ def probase_concepts_with_phrases(
     return out
 
 
+def conceptualize_eventuality(
+    words: list[str],
+    pos_tags: list[str],
+    ners,
+    dependencies,
+    topk_map: dict[str, list[tuple[str, float]]],
+    top_k: int = DEFAULT_TOPK,
+    start_index: int = 0,
+) -> list[tuple[list[str], float]]:
+    """Full eventuality-path conceptualization (conceptualizer.py:305-390):
+    word-level seed rule + Probase (template prefix masked), phrase-level
+    second pass when compound segments exist (word-level pos_tags fed to the
+    phrase pass, per the reference), two-pointer merge, seed-rule fallback.
+
+    ``ners`` must already be per-position string labels (the eventuality path
+    reduces merged Counters via ``Eventuality.ners``/``_get_ner``,
+    object.py:190-194,496-506 — dominant non-O label, "O" forced on VB*)."""
+    from .eventuality import dep_compound_segment
+
+    seeded = seed_rule_masked(words, ners, start_index)
+    strs1 = probase_concepts(seeded, _mask_pos(pos_tags, start_index), topk_map, top_k)
+    concept_strs = strs1
+
+    segments = (
+        dep_compound_segment([tuple(d) for d in dependencies], len(words))
+        if dependencies
+        else [(i,) for i in range(len(words))]
+    )
+    if len(segments) != len(words):
+        # phrase-level pass (conceptualizer.py:332-353); start_index remapped
+        # to the segment that contains it (:334-337)
+        si2 = start_index
+        for idx, seg in enumerate(segments):
+            if start_index in seg:
+                si2 = idx
+                break
+        phrases = [" ".join(words[min(s): max(s) + 1]) for s in segments]
+        phrase_ners = (
+            [ners[s[0]] for s in segments] if ners is not None else None
+        )
+        seeded2 = seed_rule_masked(phrases, phrase_ners, si2)
+        # NB: the eventuality path passes word-level pos_tags here
+        # (conceptualizer.py:342,351) — phrase i is gated by pos_tags[i]
+        strs2 = probase_concepts(seeded2, _mask_pos(pos_tags, si2), topk_map, top_k)
+        concept_strs = merge_concept_lists(strs1, strs2, top_k)
+
+    if not concept_strs:
+        # seed-rule fallback (conceptualizer.py:384-387; the reference's
+        # list != str guard is always True -> unconditional on empty)
+        concept_strs = [(list(seeded), 1.0)]
+    return concept_strs
+
+
+def conceptualize_from_text(
+    tokens: list[str],
+    ners,
+    pos_tags: list[str],
+    dependencies,
+    topk_map: dict[str, list[tuple[str, float]]],
+    top_k: int = DEFAULT_TOPK,
+    start_index: int = 0,
+) -> list[tuple[list[str], float]]:
+    """Whole-sentence text-path conceptualization
+    (``ProbaseConceptualizer.conceptualize_from_text``,
+    conceptualizer.py:392-492): like the eventuality path but phrases carry
+    their own POS (first word of the segment) and NER (first word's label,
+    Counter reduced via most_common non-O)."""
+    from .eventuality import dep_compound_segment
+
+    seeded = seed_rule_masked(tokens, ners, start_index)
+    strs1 = probase_concepts(seeded, _mask_pos(pos_tags, start_index), topk_map, top_k)
+    concept_strs = strs1
+
+    segments = (
+        dep_compound_segment([tuple(d) for d in dependencies], len(tokens))
+        if dependencies
+        else [(i,) for i in range(len(tokens))]
+    )
+    if len(segments) != len(tokens):
+        phrase_words, phrase_ners, phrase_pos = [], [], []
+        si2 = start_index
+        for seg in segments:
+            if start_index in seg:
+                si2 = len(phrase_words)
+            phrase_words.append(" ".join(tokens[min(seg): max(seg) + 1]))
+            n = ners[seg[0]] if ners is not None else "O"
+            if not isinstance(n, str):
+                lbl = "O"
+                for x, _ in sorted(n.items(), key=lambda kv: (-kv[1], kv[0])):
+                    if x != "O":
+                        lbl = x
+                        break
+                n = lbl
+            phrase_ners.append(n)
+            phrase_pos.append(pos_tags[seg[0]])
+        seeded2 = seed_rule_masked(phrase_words, phrase_ners, si2)
+        strs2 = probase_concepts(seeded2, _mask_pos(phrase_pos, si2), topk_map, top_k)
+        concept_strs = merge_concept_lists(strs1, strs2, top_k)
+
+    if not concept_strs:
+        concept_strs = [(list(seeded), 1.0)]
+    return concept_strs
+
+
+def _dominant_ner(counters, pos_tags) -> list | None:
+    """Reduce per-position NER counters to the eventuality path's string
+    labels: most-frequent non-O label (object.py:496-506), with "O" forced on
+    VB* positions (the ``_get_ner`` POS guard).  Counter ties break by
+    (-count, label) — deterministic where the reference inherits insertion
+    order."""
+    if counters is None:
+        return None
+    out = []
+    for i, c in enumerate(counters):
+        best = "O"
+        if c and not (i < len(pos_tags) and pos_tags[i].startswith("VB")):
+            for label, cnt in sorted(c.items(), key=lambda kv: (-kv[1], kv[0])):
+                if label != "O":
+                    best = label
+                    break
+        out.append(best)
+    return out
+
+
 def conceptualize(
     events: DataFrame,
     topk_map: dict[str, list[tuple[str, float]]],
     top_k: int = DEFAULT_TOPK,
+    start_index_mode: str = "tokens",
 ) -> DataFrame:
     """eventualities (merged D8) -> concept-instance rows
-    (cid, concept_words, eid, pattern, score, frequency)."""
+    (pid, cid, eid, relation, concept_text, pattern, score, frequency).
+
+    ``start_index_mode`` controls template-prefix masking (see
+    :func:`template_start_index`); the per-relation index is resolved once on
+    the driver and shipped in the closure."""
 
     schema = (
-        "cid string, eid string, relation string, concept_text string, "
-        "pattern string, score double, frequency double"
+        "pid string, cid string, eid string, relation string, "
+        "concept_text string, pattern string, score double, frequency double"
     )
-
-    def dominant_ner(counters) -> list | None:
-        """Most-frequent non-O label per position (object.py:496-506)."""
-        if counters is None:
-            return None
-        out = []
-        for c in counters:
-            best = "O"
-            if c:
-                for label, cnt in sorted(c.items(), key=lambda kv: (-kv[1], kv[0])):
-                    if label != "O":
-                        best = label
-                        break
-                else:
-                    best = "O"
-                if all(k == "O" for k in c):
-                    best = "O"
-            out.append(best)
-        return out
+    start_indices = {
+        rel: template_start_index(rel, start_index_mode) for rel in POS_TEMPLATES
+    }
 
     def run(batches):
         for pdf in batches:
             rows = []
             has_counters = "ner_counters" in pdf.columns
-            ner_src = pdf["ner_counters"] if has_counters else [None] * len(pdf)
+            ner_src = pdf["ner_counters"] if has_counters else pdf.get("ners", [None] * len(pdf))
             dep_src = pdf["dependencies"] if "dependencies" in pdf.columns else [None] * len(pdf)
             pat_src = pdf["pattern_sig"] if "pattern_sig" in pdf.columns else [None] * len(pdf)
             for eid, rel, words, pos_tags, ners, deps, pat, freq in zip(
@@ -249,19 +441,28 @@ def conceptualize(
                 words = list(words)
                 pos_tags = list(pos_tags)
                 if has_counters:
-                    ners = dominant_ner(ners)
-                seeded = seed_rule_words(words, pos_tags, ners)
+                    ners = _dominant_ner(ners, pos_tags)
+                elif ners is not None:
+                    # Eventuality.ners applies the VB guard to string labels
+                    # too (object.py:496-506)
+                    ners = [
+                        "O" if pos_tags[i].startswith("VB") else n
+                        for i, n in enumerate(list(ners)[: len(pos_tags)])
+                    ]
                 dep_triples = (
                     [(d["gov"], d["rel"], d["dep"]) for d in deps]
                     if deps is not None
                     else None
                 )
-                for cw, score in probase_concepts_with_phrases(
-                    seeded, pos_tags, dep_triples, topk_map, top_k
+                for cw, score in conceptualize_eventuality(
+                    words, pos_tags, ners, dep_triples, topk_map, top_k,
+                    start_index=start_indices.get(rel, 0),
                 ):
+                    cid = cid_of(cw)
                     rows.append(
                         {
-                            "cid": cid_of(cw),
+                            "pid": pid_of(cid, eid),
+                            "cid": cid,
                             "eid": eid,
                             "relation": rel,
                             "concept_text": " ".join(cw),
@@ -272,18 +473,68 @@ def conceptualize(
                     )
             yield pd.DataFrame(
                 rows,
-                columns=["cid", "eid", "relation", "concept_text", "pattern", "score", "frequency"],
+                columns=[
+                    "pid", "cid", "eid", "relation", "concept_text",
+                    "pattern", "score", "frequency",
+                ],
             )
 
     cols = [
         c
         for c in (
-            "eid", "relation", "words", "pos_tags", "ner_counters",
+            "eid", "relation", "words", "pos_tags", "ner_counters", "ners",
             "dependencies", "pattern_sig", "frequency",
         )
         if c in events.columns
     ]
     return events.select(cols).mapInPandas(run, schema=schema)
+
+
+def conceptualize_text(
+    parsed: DataFrame,
+    topk_map: dict[str, list[tuple[str, float]]],
+    top_k: int = DEFAULT_TOPK,
+    start_index_mode: str = "tokens",
+) -> DataFrame:
+    """``conceptualized_text`` — the whole-parsed-line pass the reference runs
+    alongside per-eventuality conceptualization (conceptualizer.py:682-685):
+    every parsed sentence, not just its eventualities, gets concept rows."""
+    schema = "sid string, relation string, cid string, concept_text string, score double"
+    start_indices = {
+        rel: template_start_index(rel, start_index_mode) for rel in POS_TEMPLATES
+    }
+    has_tokens = "tokens" in parsed.columns
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            tok_src = pdf["tokens"] if has_tokens else pdf["lemmas"]
+            ner_src = pdf["ners"] if "ners" in pdf.columns else [None] * len(pdf)
+            for sid, rel, toks, pos_tags, ners, deps in zip(
+                pdf["sid"], pdf["relation"], tok_src, pdf["pos_tags"],
+                ner_src, pdf["dependencies"],
+            ):
+                dep_triples = [(d["gov"], d["rel"], d["dep"]) for d in deps]
+                for cw, score in conceptualize_from_text(
+                    list(toks), list(ners) if ners is not None else None,
+                    list(pos_tags), dep_triples, topk_map, top_k,
+                    start_index=start_indices.get(rel, 0),
+                ):
+                    rows.append(
+                        {
+                            "sid": sid,
+                            "relation": rel,
+                            "cid": cid_of(cw),
+                            "concept_text": " ".join(cw),
+                            "score": float(score),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["sid", "relation", "cid", "concept_text", "score"]
+            )
+
+    cols = [c for c in ("sid", "relation", "tokens", "lemmas", "pos_tags", "ners", "dependencies") if c in parsed.columns]
+    return parsed.select(cols).mapInPandas(run, schema=schema)
 
 
 def aggregate_concepts(concept_rows: DataFrame) -> DataFrame:

@@ -23,7 +23,13 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from . import generate, materialize, parse, patterns, score, synthetic
 from .canonicalize import canonicalize_surface_forms
-from .conceptualize import aggregate_concepts, collect_topk_map, conceptualize, probase_topk
+from .conceptualize import (
+    aggregate_concepts,
+    collect_topk_map,
+    conceptualize,
+    conceptualize_text,
+    probase_topk,
+)
 from .match import match_patterns, merge_eventualities
 from .snapshots import SnapshotStore
 
@@ -40,6 +46,7 @@ def run_pipeline(
     max_extra: int = 2,
     micro_batches: int | None = None,
     dedupe_parse: bool = True,
+    with_concept_text: bool = False,
 ) -> dict:
     """Returns {"triples": DataFrame, "stages": {stage: seconds}, ...}.
 
@@ -210,6 +217,7 @@ def run_pipeline(
     # -- conceptualization ---------------------------------------------------
     concepts = None
     concept_triples = None
+    concept_text = None
     if with_concepts:
         probase = synthetic.probase_df(spark)
         topk_map = collect_topk_map(probase_topk(probase))
@@ -246,6 +254,20 @@ def run_pipeline(
             lambda: store.stage(spark, "concept_triples", fp, build_concept_triples),
         )
 
+        # whole-sentence conceptualized_text pass (conceptualizer.py:682-685):
+        # every parsed line, not just its eventualities — opt-in because it
+        # conceptualizes the full corpus, like the reference's per-line loop
+        if with_concept_text:
+            concept_text = timed(
+                "concept_text",
+                lambda: store.stage(
+                    spark,
+                    "concept_text",
+                    fp,
+                    lambda: conceptualize_text(parsed, topk_map),
+                ),
+            )
+
     # -- final write ---------------------------------------------------------
     timed(
         "write",
@@ -262,6 +284,7 @@ def run_pipeline(
         "triples": triples,
         "concepts": concepts,
         "concept_triples": concept_triples,
+        "concept_text": concept_text,
         "stages": timings,
         "store": store,
     }

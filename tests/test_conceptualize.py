@@ -1,11 +1,22 @@
-"""Conceptualization kernel tests (J3/W2/T4/F11; conceptualizer.py semantics)."""
+"""Conceptualization kernel tests (J3/W2/T4/F11; conceptualizer.py semantics).
+
+The golden expectations here are hand-derived from a read of the reference
+code (``/root/reference/src/pattern/conceptualizer.py``), not from running the
+repo's own kernels — see the inline trace comments.
+"""
 
 import pytest
 
 from folkscope_spark.conceptualize import (
     cid_of,
+    conceptualize_eventuality,
+    conceptualize_from_text,
+    merge_concept_lists,
+    pid_of,
     probase_concepts,
+    seed_rule_masked,
     seed_rule_words,
+    template_start_index,
 )
 
 
@@ -52,25 +63,140 @@ def test_non_noun_and_capitalized_skipped():
     assert out == []
 
 
+def test_pronoun_it_not_conceptualized():
+    # pronouns = person_pronoun_set | {"it"} (conceptualizer.py:242,507)
+    assert probase_concepts(["it"], ["NN"], {"it": [("thing", 1.0)]}) == []
+
+
 def test_unknown_noun_no_concepts():
     assert probase_concepts(["xyzzy"], ["NN"], TOPK) == []
 
 
-def test_seed_rule_ner_placeholders():
-    words = ["alice", "likes", "it"]
-    pos = ["NNP", "VBZ", "PRP"]
-    ners = ["PERSON", "O", "O"]
-    out = seed_rule_words(words, pos, ners)
+# --------------------------------------------------------------- seed rule
+# Hand trace of SeedRuleConceptualizer.conceptualize_from_text
+# (conceptualizer.py:255-278): ners_dict[ner][word] = len(ners_dict[ner]) on
+# first sight, reused on repeats; only selected_ners rewrite; person pronouns
+# (no "it") fall back to __PERSON__.
+
+
+def test_seed_rule_per_type_word_index():
+    words = ["alice", "meets", "alice", "and", "bob", "in", "january", "at", "google"]
+    ners = ["PERSON", "O", "PERSON", "O", "PERSON", "O", "DATE", "O", "ORGANIZATION"]
+    out = seed_rule_words(words, ners)
+    # repeated word reuses its index (ners_dict["PERSON"]["alice"] == 0)
+    assert out[0] == "__PERSON__0" and out[2] == "__PERSON__0"
+    assert out[4] == "__PERSON__1"  # new word -> next index
+    assert out[6] == "__DATE__0"
+    # ORGANIZATION is NOT in selected_ners (conceptualizer.py:231-236):
+    # the word passes through untouched
+    assert out[8] == "google"
+    assert out[1] == "meets"
+
+
+def test_seed_rule_person_pronouns_exclude_it():
+    out = seed_rule_words(["he", "likes", "it", "and", "he"], None)
     assert out[0] == "__PERSON__0"
-    assert out[2] == "__PERSON__1"  # pronoun rewrite
-    assert out[1] == "likes"
+    assert out[4] == "__PERSON__0"  # same word -> same index
+    assert out[2] == "it"  # "it" not in person_pronoun_set (:239-241)
 
 
-def test_cid_contract():
+def test_seed_rule_ner_beats_pronoun_rule():
+    # the NER branch is checked first (:268 elif :272)
+    out = seed_rule_words(["her"], ["DATE"])
+    assert out == ["__DATE__0"]
+
+
+def test_seed_rule_masked_prefix_restored():
+    # conceptualizer.py:322-327: prefix seed-ruled as UNK/O then restored
+    words = ["they", "both", "be", "capable", "of", "he", "runs"]
+    out = seed_rule_masked(words, None, 5)
+    assert out[:5] == ["they", "both", "be", "capable", "of"]  # "they" NOT rewritten
+    assert out[5] == "__PERSON__0"  # suffix still seed-ruled
+    # unmasked: "they" is a person pronoun and would be rewritten
+    assert seed_rule_words(words, None)[0] == "__PERSON__0"
+
+
+# ------------------------------------------------- start_index resolution
+
+
+def test_template_start_index_modes():
+    # capableOf POS template: "PRP DT VBP JJ IN" -> 5 tokens, 16 chars
+    assert template_start_index("capableOf", "tokens") == 5
+    assert template_start_index("capableOf", "chars") == len("PRP DT VBP JJ IN")
+    assert template_start_index("capableOf", "none") == 0
+    assert template_start_index("open", "tokens") == 0
+
+
+# ------------------------------------------- full eventuality-path parity
+
+
+def test_conceptualize_eventuality_prefix_masked():
+    words = ["they", "both", "be", "capable", "of", "cleaning", "cotton"]
+    pos = ["PRP", "DT", "VBP", "JJ", "IN", "VBG", "NN"]
+    out = conceptualize_eventuality(words, pos, None, None, TOPK, 5, start_index=5)
+    # prefix words keep their surface form; only the tail noun conceptualizes
+    assert out[0][0] == ["they", "both", "be", "capable", "of", "cleaning", "natural-material"]
+    assert out[0][1] == pytest.approx(0.6)
+    assert out[1][0][-1] == "material"
+
+
+def test_conceptualize_eventuality_char_mode_falls_back():
+    # chars-mode start_index (16) >= len(words): everything masked, probase
+    # yields nothing, the seed-rule fallback fires with the original words
+    # (conceptualizer.py:384-387 observable behavior)
+    words = ["they", "both", "be", "capable", "of", "cleaning", "cotton"]
+    pos = ["PRP", "DT", "VBP", "JJ", "IN", "VBG", "NN"]
+    si = template_start_index("capableOf", "chars")
+    out = conceptualize_eventuality(words, pos, None, None, TOPK, 5, start_index=si)
+    assert out == [(words, 1.0)]
+
+
+def test_conceptualize_eventuality_seed_fallback():
+    # no probase hit at all -> (seeded words, 1.0), never empty
+    out = conceptualize_eventuality(["he", "jumps"], ["PRP", "VBZ"], None, None, TOPK, 5)
+    assert out == [(["__PERSON__0", "jumps"], 1.0)]
+
+
+def test_conceptualize_eventuality_phrase_pass():
+    # compound segment ("cotton fabric") conceptualized as a phrase and merged
+    # by descending score (conceptualizer.py:332-382)
+    topk = dict(TOPK)
+    topk["cotton fabric"] = [("textile", 0.9)]
+    words = ["clean", "cotton", "fabric"]
+    pos = ["VB", "NN", "NN"]
+    deps = [(2, "compound", 1)]
+    out = conceptualize_eventuality(words, pos, None, deps, topk, 5)
+    # phrase result (0.9) outranks the word-level cotton substitution (0.6)
+    assert out[0] == (["clean", "textile"], pytest.approx(0.9))
+    assert out[1][0] == ["clean", "natural-material", "fabric"]
+
+
+def test_conceptualize_text_phrase_pos():
+    # the text path gates phrase i by the segment's own first-word POS
+    # (conceptualizer.py:438,445), not the word-level tag
+    topk = {"cotton fabric": [("textile", 0.9)]}
+    out = conceptualize_from_text(
+        ["clean", "cotton", "fabric"], None, ["VB", "NN", "NN"],
+        [(2, "compound", 1)], topk, 5,
+    )
+    assert out[0] == (["clean", "textile"], pytest.approx(0.9))
+
+
+def test_merge_concept_lists_dedupe_and_order():
+    a = [(["x"], 0.9), (["y"], 0.5)]
+    b = [(["x"], 0.7), (["z"], 0.6)]
+    out = merge_concept_lists(a, b, top_k=5)
+    assert out == [(["x"], 0.9), (["z"], 0.6), (["y"], 0.5)]
+
+
+def test_cid_pid_contract():
     import hashlib
 
     words = ["natural-material", "for", "person"]
-    assert cid_of(words) == hashlib.sha1(" ".join(words).encode("utf-8")).hexdigest()
+    cid = cid_of(words)
+    assert cid == hashlib.sha1(" ".join(words).encode("utf-8")).hexdigest()
+    # pid = sha1(cid + "$" + eid) (object.py:762-773)
+    assert pid_of(cid, "abc") == hashlib.sha1((cid + "$abc").encode()).hexdigest()
 
 
 def test_probase_topk_relational(tmp_path):
