@@ -36,57 +36,74 @@ def _sentence_separators(pos_tags: list[str]) -> list[int]:
 
 
 def _crosses_separator(subiso: list[int], seps: list[int]) -> bool:
-    """A match may not span a clause separator (pattern_match.py:102-118):
-    matched indices must all be strictly on one side of every separator."""
+    """A match may not span a clause separator — the reference's exact
+    pairwise test (pattern_match.py:102-118): fail iff some pair of distinct
+    matched indices has ``(idx1-sep)*(idx2-sep) <= 0`` (opposite sides, or one
+    of the pair sitting on the separator).  A single-vertex match can never
+    fail this (no pair exists)."""
     for sep in seps:
-        below = any(i < sep for i in subiso)
-        above = any(i > sep for i in subiso)
-        on = any(i == sep for i in subiso)
-        if (below and above) or on:
-            return True
+        for i1 in subiso:
+            for i2 in subiso:
+                if i1 == i2:
+                    continue
+                if (i1 - sep) * (i2 - sep) <= 0:
+                    return True
     return False
 
 
 def _optional_closure(
     subiso_set: set[int], deps: list[tuple[int, str, int]], pos_tags: list[str]
 ) -> set[int]:
-    """Fixed-point closure pulling in OPTIONAL-POS modifiers reachable from the
-    match (pattern_match.py:123-133)."""
+    """Fixed-point closure pulling in OPTIONAL-POS modifiers reachable from
+    the match — the reference's exact condition (pattern_match.py:127-133),
+    including its ``(not in subiso or not in optional)`` disjunction: a match
+    vertex whose POS is OPTIONAL-class *does* enter the optional set, which
+    lets optional->match edges into ``selected`` through the third selection
+    branch.  Pinned as observable reference behavior (eids depend on it)."""
     optional: set[int] = set()
-    changed = True
-    while changed:
-        changed = False
+    cnt = -1
+    while len(optional) != cnt:
+        cnt = len(optional)
         for g, _, d in deps:
             if (
                 (g in subiso_set or g in optional)
-                and d not in subiso_set
-                and d not in optional
+                and (d not in subiso_set or d not in optional)
                 and pos_tags[d] in OPTIONAL_POS_TAGS
             ):
                 optional.add(d)
-                changed = True
     return optional
 
 
 def extract_from_sentence(
     parsed_row: dict,
     patterns,
-    hierarchy,
+    hierarchy=None,
 ) -> list[dict]:
-    """Run the full per-sentence match loop; returns eventuality dicts."""
+    """Run the per-sentence match loop; returns eventuality dicts.
+
+    Reference semantics (pattern_match.py:65-218) are
+    **first-matching-pattern-wins per line**: the sweep only VF2-matches
+    lines whose flag still equals the initial value (``:88``), so once any
+    pattern yields a separator-veto-passing subiso on a line, no later
+    pattern extracts from it; all accepted subisos of that first pattern are
+    extracted (eid-deduped within the line).  The child-bitmask propagation
+    (``:210-218``) only affects the sweep's *counting*, which the mining path
+    handles separately — ``hierarchy`` is accepted for API compatibility.
+
+    One global coupling is assumed away: the reference skips a pattern's flag
+    update when its canonical form fails the prefix/MUST/forbidden-end/
+    connectivity guards on the chosen example (``:186-207``); patterns
+    reaching this matcher come from ``finish_patterns``, which already
+    enforces those guards, so every broadcast pattern is treated as valid."""
     pos_tags = list(parsed_row["pos_tags"])
     deps = [tuple(d) for d in parsed_row["dependencies"]]
     g = DiGraph(pos_tags, deps)
     seps = _sentence_separators(pos_tags)
 
-    covered = 0
     results: list[dict] = []
     seen_eids: set[str] = set()
 
-    for idx, (pat, patg) in enumerate(patterns):
-        flag = 1 << idx
-        if covered & flag:
-            continue
+    for pat, patg in patterns:
         if len(pos_tags) < len(pat[0]) or len(deps) < len(pat[1]):
             continue
         subisos = get_subisomorphisms(g, patg)
@@ -118,11 +135,9 @@ def extract_from_sentence(
             ev["pattern_sig"] = " ".join(canon[0])
             results.append(ev)
         if matched:
-            # bitmask: children of a matched pattern are skipped on this line
-            # (pattern_match.py:210-218)
-            covered |= flag
-            for child in hierarchy[idx]["children"]:
-                covered |= 1 << child
+            # first-match-wins: the line's flag is no longer the initial
+            # value, so the reference never matches it again (:88)
+            break
     return results
 
 
