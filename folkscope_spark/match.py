@@ -162,22 +162,25 @@ def skeleton_subset_dedupe(eventualities: list[dict]) -> list[dict]:
 
 
 class _PatternCache:
-    """Per-executor cache of DiGraph-ified broadcast patterns."""
+    """Per-executor cache of DiGraph-ified broadcast patterns.
+
+    Keyed by identity on a *held* reference: keeping ``mined`` alive pins its
+    id, so a later dict allocated at a recycled address on a reused worker
+    can never alias a stale prepared set."""
 
     def __init__(self):
-        self.key = None
+        self.mined_ref = None
         self.value = None
 
     def get(self, mined: dict):
-        k = id(mined)
-        if self.key != k:
+        if self.mined_ref is not mined:
             prepared = {}
             for rel, info in mined.items():
                 prepared[rel] = (
                     [(p, graph_of(p)) for p in info["patterns"]],
                     info["hierarchy"],
                 )
-            self.key, self.value = k, prepared
+            self.mined_ref, self.value = mined, prepared
         return self.value
 
 

@@ -60,10 +60,13 @@ def _capableof_lines(n_pairs: int = 45, n_seqs: int = 2) -> list[dict]:
 
 
 def _mine_raw_patterns(lines, max_extra=2, min_freq=2):
+    # skeletonize=False: the matcher differential wants a *diverse* pattern
+    # set (skeletonization collapses optional variants, which is its job)
     ctr: Counter = Counter()
     for line in lines:
         for pat in enumerate_anchored(
-            line["pos_tags"], line["dependencies"], ANCHOR_LEN, max_extra
+            line["pos_tags"], line["dependencies"], ANCHOR_LEN, max_extra,
+            skeletonize=False,
         ):
             ctr[pat] += 1
     return [
