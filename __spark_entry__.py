@@ -196,6 +196,29 @@ def q_w4_pr_curve(spark, sf):  # W4 PR-curve sweep via running sums
     )
 
 
+def q_w4_pr_binned(spark, sf):  # W4 at scale: binned PR sweep (no global sort)
+    """Scores bucketed into fixed-width bins, counts aggregated per bin
+    (parallel hash agg), cumulative sweep over the tiny bin table — the
+    scale-safe twin of q_w4_pr_curve (folkscope_spark.score.pr_curve_binned)."""
+    e = _t(spark, sf, "events")
+    scored = e.select(
+        F.floor("value").cast("long").alias("bin"),
+        (F.col("event_type") == "error").cast("long").alias("is_pos"),
+    )
+    total = scored.agg(F.sum("is_pos")).collect()[0][0] or 1
+    bins = scored.groupBy("bin").agg(
+        F.count("*").alias("n"), F.sum("is_pos").alias("pos")
+    )
+    w = Window.orderBy(F.desc("bin")).rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        bins.withColumn("n_kept", F.sum("n").over(w).cast("long"))
+        .withColumn("n_pos", F.sum("pos").over(w).cast("long"))
+        .withColumn("precision", F.round(F.col("n_pos") / F.col("n_kept"), 6))
+        .withColumn("recall", F.round(F.col("n_pos") / F.lit(total), 6))
+        .select("bin", "n_kept", "n_pos", "precision", "recall")
+    )
+
+
 def q_t1_freq_desc(spark, sf):  # T1 frequency-descending ordering
     return (
         _t(spark, sf, "events")
@@ -763,8 +786,10 @@ def q_fs_canonicalize(spark, sf):  # MinHash-LSH + CC over document texts
 
     d = _t(spark, sf, "documents").limit(2000)
     m = canonicalize_surface_forms(d.select(F.col("text").alias("obj")), "obj")
-    return m.groupBy("canonical_text").agg(F.count("*").cast("long").alias("cluster_size")).filter(
-        F.col("cluster_size") > 1
+    # mapping now holds non-identity rewrites only: one row per rewritten
+    # form; group = near-duplicate cluster (canonical member not counted)
+    return m.groupBy("canonical_text").agg(
+        F.count("*").cast("long").alias("n_rewritten")
     )
 
 
@@ -787,6 +812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a4_weighted_agg": q_a4_weighted_agg,
         "w1_rank1_mode": q_w1_rank1_mode,
         "w4_pr_curve": q_w4_pr_curve,
+        "w4_pr_binned": q_w4_pr_binned,
         "t1_freq_desc": q_t1_freq_desc,
         "t5_deterministic_sample": q_t5_deterministic_sample,
         "t6_shard_slice": q_t6_shard_slice,
@@ -893,6 +919,16 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(n_pos::DOUBLE / (SELECT t FROM tot), 6) AS recall "
             "FROM run WHERE n_kept % 100 = 0"
         ),
+        "w4_pr_binned": (
+            "WITH scored AS (SELECT FLOOR(value)::BIGINT AS bin, "
+            "CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_pos FROM events), "
+            "tot AS (SELECT GREATEST(SUM(is_pos), 1) AS t FROM scored), "
+            "bins AS (SELECT bin, COUNT(*) AS n, SUM(is_pos) AS pos FROM scored GROUP BY bin), "
+            "run AS (SELECT bin, SUM(n) OVER w::BIGINT AS n_kept, SUM(pos) OVER w::BIGINT AS n_pos "
+            "FROM bins WINDOW w AS (ORDER BY bin DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) "
+            "SELECT bin, n_kept, n_pos, ROUND(n_pos::DOUBLE / n_kept, 6) AS precision, "
+            "ROUND(n_pos::DOUBLE / (SELECT t FROM tot), 6) AS recall FROM run"
+        ),
         "t1_freq_desc": (
             "SELECT event_type, COUNT(*)::BIGINT AS freq FROM events "
             "GROUP BY event_type ORDER BY freq DESC, event_type ASC"
@@ -935,7 +971,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"
         ),
         "j8_dictionary": (
-            "SELECT key, (ROW_NUMBER() OVER (ORDER BY key) - 1)::INT AS id "
+            "SELECT key, (ROW_NUMBER() OVER (ORDER BY key) - 1)::BIGINT AS id "
             "FROM (SELECT DISTINCT p_brand AS key FROM part)"
         ),
         "skew_salted_count": (

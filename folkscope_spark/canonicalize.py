@@ -59,9 +59,14 @@ def lsh_candidate_pairs(
     id_col: str,
     n_bands: int = 4,
     max_bucket: int = 256,
+    n_hashes: int = 16,
 ) -> DataFrame:
-    """Band the signatures and self-join within buckets -> (id_a, id_b)."""
-    n_hashes = 16  # len(sig); bands of n_hashes/n_bands rows
+    """Band the signatures and self-join within buckets -> (id_a, id_b).
+
+    ``n_hashes`` must match the signature length (callers pass it through);
+    a mismatch would silently mis-band via null ``element_at`` reads."""
+    if n_hashes % n_bands != 0:
+        raise ValueError("n_hashes (%d) must be divisible by n_bands (%d)" % (n_hashes, n_bands))
     rows = n_hashes // n_bands
     banded = sigs.select(
         F.col(id_col).alias("id"),
@@ -142,14 +147,21 @@ def _cc_driver(edges: DataFrame) -> DataFrame:
 
 
 def connected_components(
-    edges: DataFrame, max_iter: int = 20, driver_threshold: int = 2_000_000
+    edges: DataFrame, max_iter: int = 30, driver_threshold: int = 2_000_000
 ) -> DataFrame:
-    """Small-star/large-star CC over an (id_a, id_b) edge list ->
-    (id, component) with component = min reachable id.
+    """Connected components over an (id_a, id_b) edge list -> (id, comp) with
+    comp = min reachable id.
 
-    Each iteration: attach every node to the min of its neighborhood+self,
-    then rewrite edges through the new labels; converged when no label moves.
-    """
+    Distributed path is **min-label star contraction with edge rewriting**
+    (the property the round-1 version lacked): each round every current node
+    adopts the minimum of its neighborhood (including itself), the edge list
+    is rewritten through the new labels (contracting each star to its
+    representative), and the id->representative mapping is composed with the
+    round's labels.  Because whole neighborhoods collapse into their minima
+    each round, long chains halve in length per round — O(log n) rounds, not
+    O(diameter) — and convergence is exact: the loop ends when the contracted
+    edge list is empty.  Hitting ``max_iter`` with edges left raises instead
+    of silently splitting clusters (ADVICE r1)."""
     edges = edges.cache()
     n_edges = edges.count()
     if n_edges <= driver_threshold:
@@ -161,43 +173,83 @@ def connected_components(
         .union(edges.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
         .distinct()
         .repartition(n_part, "u")
-        .cache()
+        .localCheckpoint(eager=True)
     )
-    # initial label: min neighbor (or self)
-    labels = (
-        e.groupBy("u")
-        .agg(F.least(F.min("v"), F.first("u")).alias("comp"))
-        .withColumnRenamed("u", "id")
+    # mapping: original id -> current representative (composed every round)
+    mapping = (
+        e.select(F.col("u").alias("id")).distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint(eager=True)
     )
-    labels = labels.withColumn("comp", F.least("comp", "id"))
+    def _resolve(m: DataFrame) -> DataFrame:
+        # contraction can finish while mapping rows still hold multi-hop
+        # pointer chains (a node whose representative was itself contracted
+        # in a later round); halve pointers to fixpoint — chains shrink
+        # geometrically, so this is O(log n) tiny self-joins
+        for _ in range(max_iter):
+            hop = m.select(F.col("id").alias("comp"), F.col("comp").alias("comp2"))
+            nxt = (
+                m.join(hop, "comp", "left")
+                .select("id", F.coalesce("comp2", "comp").alias("comp"))
+                .localCheckpoint(eager=True)
+            )
+            moved = (
+                nxt.alias("n")
+                .join(m.alias("o"), "id")
+                .filter(F.col("n.comp") != F.col("o.comp"))
+                .limit(1)
+                .count()
+            )
+            m = nxt
+            if moved == 0:
+                return m
+        raise RuntimeError("component mapping did not resolve in %d hops" % max_iter)
+
     for _ in range(max_iter):
-        # propagate: new label = min(label, min over neighbors' labels)
-        lu = labels.withColumnRenamed("id", "u").withColumnRenamed("comp", "cu")
-        lv = labels.withColumnRenamed("id", "v").withColumnRenamed("comp", "cv")
-        prop = (
+        if e.limit(1).count() == 0:
+            return _resolve(mapping)
+        # star step: node -> min(neighborhood + self)
+        labels = (
+            e.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select(F.col("u").alias("node"), F.least("mn", "u").alias("new"))
+        )
+        # compose mapping through this round's labels...
+        mapping = (
+            mapping.join(labels, mapping["comp"] == labels["node"], "left")
+            .select("id", F.coalesce("new", "comp").alias("comp"))
+        )
+        # ...then pointer-halve (comp := comp's comp): without this, a
+        # descending id chain moves the minimum one hop per round (O(n));
+        # halving makes representative chains collapse in O(log n) rounds
+        hop = mapping.select(F.col("id").alias("comp"), F.col("comp").alias("comp2"))
+        mapping = (
+            mapping.join(hop, "comp", "left")
+            .select("id", F.coalesce("comp2", "comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        # contract: rewrite both edge endpoints through the halved mapping
+        # (edge endpoints are representative ids, all present in mapping.id),
+        # drop self-loops, dedupe - the graph of representatives
+        lu = mapping.select(F.col("id").alias("u"), F.col("comp").alias("nu"))
+        lv = mapping.select(F.col("id").alias("v"), F.col("comp").alias("nv"))
+        e = (
             e.join(lu, "u")
             .join(lv, "v")
-            .groupBy("u")
-            .agg(F.min(F.least("cu", "cv")).alias("newcomp"))
-            .withColumnRenamed("u", "id")
+            .select(F.col("nu").alias("u"), F.col("nv").alias("v"))
+            .filter(F.col("u") != F.col("v"))
         )
-        new_labels = (
-            labels.join(prop, "id", "left")
-            .withColumn("comp2", F.least("comp", F.coalesce("newcomp", "comp")))
-            .select("id", F.col("comp2").alias("comp"))
+        # keep the contracted graph symmetric for the next star step
+        e = (
+            e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            .distinct()
+            .localCheckpoint(eager=True)
         )
-        new_labels = new_labels.localCheckpoint(eager=True)
-        moved = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
+    if e.limit(1).count() != 0:
+        raise RuntimeError(
+            "connected_components did not converge in %d rounds" % max_iter
         )
-        labels = new_labels
-        if moved == 0:
-            break
-    return labels
+    return _resolve(mapping)
 
 
 def canonicalize_surface_forms(
@@ -207,24 +259,27 @@ def canonicalize_surface_forms(
     n_hashes: int = 16,
     n_bands: int = 4,
 ) -> DataFrame:
-    """Return (text, canonical_text): the LSH+CC rewrite table for a column of
-    surface forms.  Forms with no near-duplicate map to themselves (and are
-    never shuffled through the CC loop)."""
+    """Return (text, canonical_text) — the LSH+CC rewrite table for a column
+    of surface forms, containing **only non-identity rewrites**
+    (text != canonical_text).  Forms with no near-duplicate simply don't
+    appear; consumers rewrite with a left join + ``coalesce`` (see
+    ``materialize.build_triples``).  This keeps the table dimension-sized —
+    one row per *rewritten* form, not per distinct form — so broadcasting it
+    stays viable at web scale (ADVICE r1)."""
     forms = df.select(F.col(text_col).alias("text")).distinct()
     toks = tokenize_col(forms, "text").withColumn("id", F.col("text"))
     sigs = minhash_signatures(toks, "id", n_hashes)
-    pairs = lsh_candidate_pairs(sigs, "id", n_bands)
+    pairs = lsh_candidate_pairs(sigs, "id", n_bands, n_hashes=n_hashes)
     verified = verify_jaccard(pairs, toks, "id", jaccard_threshold).cache()
     if not verified.limit(1).count():
-        # no near-duplicates at all: identity mapping, skip the CC loop
-        return forms.select("text", F.col("text").alias("canonical_text"))
+        # no near-duplicates at all: empty rewrite table, skip the CC loop
+        spark = df.sparkSession
+        return spark.createDataFrame([], "text string, canonical_text string")
     comps = connected_components(verified)
     # canonical member per component = lexicographic min id (== min text)
     canon = comps.groupBy("comp").agg(F.min("id").alias("canonical_text"))
-    mapping = comps.join(canon, "comp").select(
-        F.col("id").alias("text"), "canonical_text"
-    )
-    return forms.join(mapping, "text", "left").select(
-        "text",
-        F.coalesce("canonical_text", "text").alias("canonical_text"),
+    return (
+        comps.join(canon, "comp")
+        .select(F.col("id").alias("text"), "canonical_text")
+        .filter(F.col("text") != F.col("canonical_text"))
     )

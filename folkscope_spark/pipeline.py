@@ -148,24 +148,32 @@ def run_pipeline(
         mined["open"] = patterns.merge_pattern_sets(mined)
 
     # -- matching ------------------------------------------------------------
-    events = timed(
+    # matched is the pre-merge (eid, sid) stream: two consumers (eid merge +
+    # sentence re-attachment) read it, so it gets its own committed stage.
+    # Keeping the per-sentence mapping relational (instead of collect_set of
+    # sids per eid) bounds every row — a Zipf-hot eventuality's sentence list
+    # never funnels into one aggregation row.
+    matched = timed(
         "match",
         lambda: store.stage(
-            spark,
-            "eventualities",
-            fp,
-            lambda: merge_eventualities(match_patterns(parsed, mined)),
+            spark, "matched", fp, lambda: match_patterns(parsed, mined)
+        ),
+    )
+    events = timed(
+        "merge",
+        lambda: store.stage(
+            spark, "eventualities", fp, lambda: merge_eventualities(matched)
         ),
     )
 
     # -- eventuality-level triples -------------------------------------------
     def build_event_triples():
-        # eventualities carry the parse-stage key in `sids`; re-attach to the
-        # assertion rows (pair subjects + scores) by the matching key:
+        # each matched row carries the parse-stage key in `sid`; re-attach to
+        # the assertion rows (pair subjects + scores) by the matching key:
         # dedupe mode -> tkey = md5(relation || tail); parity mode ->
         # sid = "{a}-{rel}-{b}|{seq}" (generation_parser.py:137)
-        ev = events.select(
-            "eid", "relation", "words", "frequency", F.explode("sids").alias("k")
+        ev = matched.select(
+            "eid", "relation", "words", "frequency", F.col("sid").alias("k")
         ).withColumn("obj_text", F.concat_ws(" ", "words"))
         if dedupe_parse:
             key = F.md5(F.concat_ws("\x1f", "relation", "tail"))

@@ -89,27 +89,34 @@ def classifier_metrics(scored: DataFrame, ts: float = 0.5, label_col: str = "lab
 
 
 def select_threshold(
-    scored: DataFrame, min_precision: float, label_col: str = "label"
+    scored: DataFrame, min_precision: float, label_col: str = "label",
+    n_bins: int = 1000,
 ) -> float | None:
     """Smallest threshold achieving ``min_precision`` on the PR sweep
     (precision_recall_selection.py:30-54: walk thresholds, pick by target
-    precision)."""
+    precision).  Runs on the binned curve: collects at most ``n_bins`` rows
+    regardless of input size."""
     curve = (
-        pr_curve(scored, label_col)
-        .select("plausibility", "precision")
+        pr_curve_binned(scored, n_bins=n_bins, label_col=label_col)
+        .select("threshold", "precision")
         .collect()
     )
     best = None
-    for r in curve:
+    for r in curve:  # descending threshold order
         if r["precision"] >= min_precision:
-            best = r["plausibility"]  # lowest score (deepest cut) still meeting it
+            best = r["threshold"]  # lowest score (deepest cut) still meeting it
     return best
 
 
 def pr_curve(scored: DataFrame, label_col: str = "label") -> DataFrame:
-    """W4 PR-curve sweep as a window computation
+    """W4 PR-curve sweep, exact per-row form
     (precision_recall_selection.py:30-54): order by score desc, running
-    positives -> precision/recall columns."""
+    positives -> precision/recall columns.
+
+    The global window sorts the whole table into one task — correct and
+    cheap at the reference's scale (human-annotated sets, thousands of rows),
+    which is this function's intended domain.  For web-scale score tables use
+    :func:`pr_curve_binned`."""
     from pyspark.sql import Window
 
     w = (
@@ -123,6 +130,41 @@ def pr_curve(scored: DataFrame, label_col: str = "label") -> DataFrame:
         .withColumn("n_pos", F.sum("is_pos").over(w))
         .withColumn("precision", F.col("n_pos") / F.col("n_kept"))
         .withColumn("recall", F.col("n_pos") / F.lit(max(total_pos, 1)))
+    )
+
+
+def pr_curve_binned(
+    scored: DataFrame, n_bins: int = 1000, label_col: str = "label",
+    score_col: str = "plausibility",
+) -> DataFrame:
+    """W4 at scale (VERDICT r1, wrong #3): scores bucketed into ``n_bins``
+    fixed-width bins, counts aggregated per bin (parallel partial+final hash
+    agg), then the cumulative sweep runs as a window over <= n_bins rows —
+    the only single-task stage touches ~10^3 rows, never the input.
+
+    Rows: (threshold, n_kept, n_pos, precision, recall), threshold
+    descending; threshold is the bin's lower edge (scores in [0, 1])."""
+    from pyspark.sql import Window
+
+    bins = (
+        scored.select(
+            F.least(
+                F.floor(F.col(score_col) * n_bins).cast("long"), F.lit(n_bins - 1)
+            ).alias("bin"),
+            (F.col(label_col) == "v").cast("long").alias("is_pos"),
+        )
+        .groupBy("bin")
+        .agg(F.count("*").alias("n"), F.sum("is_pos").alias("pos"))
+    )
+    w = Window.orderBy(F.desc("bin")).rowsBetween(Window.unboundedPreceding, 0)
+    total_pos = scored.filter(F.col(label_col) == "v").count()
+    return (
+        bins.withColumn("n_kept", F.sum("n").over(w).cast("long"))
+        .withColumn("n_pos", F.sum("pos").over(w).cast("long"))
+        .withColumn("threshold", F.col("bin") / F.lit(float(n_bins)))
+        .withColumn("precision", F.col("n_pos") / F.col("n_kept"))
+        .withColumn("recall", F.col("n_pos") / F.lit(max(total_pos, 1)))
+        .select("threshold", "n_kept", "n_pos", "precision", "recall")
     )
 
 
