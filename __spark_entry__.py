@@ -91,6 +91,25 @@ def q_p3_length_filter(spark, sf):  # P3 combined-length cutoff
     ).filter(F.col("n_tokens") <= 20)
 
 
+def q_p4_category_filter(spark, sf):  # P4 either-side category match
+    """generation.py:173 semantics: keep a row when either of two category
+    columns matches the target."""
+    li = _t(spark, sf, "lineitem")
+    return li.filter(
+        (F.col("l_linestatus") == "O") | (F.col("l_returnflag") == "R")
+    ).select("l_orderkey", "l_linenumber", "l_linestatus", "l_returnflag")
+
+
+def q_p8_skip_words(spark, sf):  # P8 skip-words sentence filter
+    """extractor.py:393-395 semantics: drop rows whose token set intersects
+    the skip set (case-sensitive, raw tokens)."""
+    d = _t(spark, sf, "documents")
+    skip = F.array(F.lit("join"), F.lit("filter"))
+    return d.filter(~F.arrays_overlap(F.split("text", " "), skip)).select(
+        "doc_id", "n_chars"
+    )
+
+
 def q_p10_threshold(spark, sf):  # P10 score threshold
     return (
         _t(spark, sf, "lineitem")
@@ -566,11 +585,14 @@ def q_ann_cosine_topk(spark, sf):  # brute-force cosine top-k vs query vec 0
 
 
 def q_ann_ivf_bucketed(spark, sf):  # LSH/IVF-bucketed ANN (scale path)
-    """Sign-LSH bucketing: 4 fixed pseudo-random hyperplanes (hash-derived
-    coefficients), bucket = sign bits; search only the query's bucket.
-    Brute-force q_ann_cosine_topk is the oracle-checked baseline; this is the
-    100TB path (bucket pruning instead of full scan) -> rows-only check +
-    recall test in tests/test_ann.py."""
+    """Sign-LSH bucketing: 4 fixed pseudo-random hyperplanes (md5-derived
+    +/-1 coefficients), bucket = sign bits; search the query's bucket plus
+    all hamming-distance-1 probes (5/16 of the corpus).  Fully oracle-checked:
+    the DuckDB twin recomputes the planes from md5 bytes, the buckets, the
+    multiprobe filter and the ranking independently — exactness-within-probe
+    is the bucketed-ANN contract (on this unstructured testdata recall equals
+    the probed fraction by construction; see tests/test_dictionary_ann.py for
+    the recall property on clustered data)."""
     e = _t(spark, sf, "embeddings")
     dim = 64
 
@@ -615,7 +637,7 @@ def q_ann_ivf_bucketed(spark, sf):  # LSH/IVF-bucketed ANN (scale path)
         .withColumn("cosine", F.round(dot / (norm(F.col("embedding")) * norm(F.col("qv"))), 4))
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(10)
-        .select("vec_id", "bucket", "cosine")
+        .select("vec_id", F.col("bucket").cast("long").alias("bucket"), "cosine")
     )
 
 
@@ -804,6 +826,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p1_whitelist": q_p1_whitelist,
         "p3_length_filter": q_p3_length_filter,
         "p10_threshold": q_p10_threshold,
+        "p4_category_filter": q_p4_category_filter,
+        "p8_skip_words": q_p8_skip_words,
         "j1_broadcast_enrich": q_j1_broadcast_enrich,
         "j2_anti_resume": q_j2_anti_resume,
         "w2_topk_per_key": q_w2_topk_per_key,
@@ -868,6 +892,14 @@ def oracle_sql() -> dict[str, str]:
         "p10_threshold": (
             "SELECT l_orderkey, l_linenumber, l_discount FROM lineitem "
             "WHERE l_discount >= 0.05"
+        ),
+        "p4_category_filter": (
+            "SELECT l_orderkey, l_linenumber, l_linestatus, l_returnflag "
+            "FROM lineitem WHERE l_linestatus = 'O' OR l_returnflag = 'R'"
+        ),
+        "p8_skip_words": (
+            "SELECT doc_id, n_chars FROM documents "
+            "WHERE len(list_intersect(string_split(text, ' '), ['join', 'filter'])) = 0"
         ),
         "j1_broadcast_enrich": (
             "SELECT n_name, COUNT(*)::BIGINT AS n_orders, "
@@ -1066,6 +1098,31 @@ def oracle_sql() -> dict[str, str]:
             "SELECT label, COUNT(*)::BIGINT AS n, "
             "ROUND(AVG(sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))), 4) "
             "AS avg_norm FROM embeddings GROUP BY label"
+        ),
+        # independent twin of the sign-LSH bucketed ANN: planes re-derived
+        # from md5 bytes (bit i%8 of hex byte i//8 of md5('plane-p')),
+        # buckets, hamming<=1 multiprobe and ranking all recomputed in SQL
+        "ann_ivf_bucketed": (
+            "WITH planes AS (SELECT p, list_transform(generate_series(0, 63), i -> "
+            "CASE WHEN (('0x' || substr(md5('plane-' || p), (i // 8) * 2 + 1, 2))::INT "
+            ">> (i % 8)) & 1 = 1 THEN 1.0 ELSE -1.0 END) AS coef "
+            "FROM (SELECT unnest([0, 1, 2, 3]) AS p)), "
+            "dots AS (SELECT e.vec_id, e.embedding, pl.p, "
+            "list_sum(list_transform(generate_series(1, 64), "
+            "i -> e.embedding[i]::DOUBLE * pl.coef[i])) AS dotp "
+            "FROM embeddings e CROSS JOIN planes pl), "
+            "b AS (SELECT vec_id, embedding, "
+            "SUM(CASE WHEN dotp >= 0 THEN (1 << p) ELSE 0 END)::BIGINT AS bucket "
+            "FROM dots GROUP BY vec_id, embedding), "
+            "q AS (SELECT embedding AS qv, bucket AS qbucket FROM b WHERE vec_id = 0) "
+            "SELECT vec_id, bucket, ROUND("
+            "list_sum(list_transform(generate_series(1, 64), "
+            "i -> embedding[i]::DOUBLE * qv[i]::DOUBLE)) / "
+            "(sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) * "
+            "sqrt(list_sum(list_transform(qv, x -> x::DOUBLE * x::DOUBLE)))), 4) AS cosine "
+            "FROM b CROSS JOIN q WHERE vec_id != 0 "
+            "AND bit_count(xor(bucket, qbucket)) <= 1 "
+            "ORDER BY cosine DESC, vec_id ASC LIMIT 10"
         ),
         "ann_cosine_topk": (
             "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) "

@@ -119,14 +119,15 @@ SKIP_WORDS = ["click", "http", "www", "login", "cookie", "javascript"]
 
 
 def skip_words_filter(parsed: DataFrame, skip_words: list[str] | None = None) -> DataFrame:
-    """P8 (extractor.py:337-339): drop sentences containing any skip word —
-    pure columnar ``arrays_overlap`` against a literal array."""
+    """P8 (extractor.py:337-339,393-395): drop sentences whose raw token set
+    intersects the skip set — pure columnar ``arrays_overlap`` against a
+    literal array, case-sensitive like the reference's ``set(tokens) &
+    skip_words``.  DataFrame twin of the in-UDF check in
+    :func:`folkscope_spark.parse.parse_assertions` (for inputs that still
+    carry a ``tokens`` column)."""
     words = skip_words or SKIP_WORDS
     return parsed.filter(
-        ~F.arrays_overlap(
-            F.transform("tokens", lambda x: F.lower(x)),
-            F.array(*[F.lit(w) for w in words]),
-        )
+        ~F.arrays_overlap("tokens", F.array(*[F.lit(w) for w in words]))
     )
 
 

@@ -32,12 +32,18 @@ PARSED_W = T.StructType(
 
 
 def parse_assertions(
-    assertions: DataFrame, dedupe: bool = True, slim: bool = False
+    assertions: DataFrame, dedupe: bool = True, slim: bool = False,
+    skip_words=None,
 ) -> DataFrame:
     """assertions(tail,...) -> parsed rows.
 
     The cleaner runs first inside the same UDF (byte-contract P6); empty or
     unparsable rows are dropped (validity guard P13, pattern_filter.py:65).
+
+    ``skip_words`` applies P8 (extractor.py:337-339,393-395): a sentence is
+    dropped when its raw token set intersects the skip set — the reference's
+    exact check (``set(tokens) & skip_words``, case-sensitive).  Default None
+    mirrors the reference default (empty set — opt-in).
 
     ``dedupe=True`` (default) parses each **distinct** (relation, tail) once
     and carries ``weight`` = corpus multiplicity — at web scale identical LLM
@@ -83,6 +89,8 @@ def parse_assertions(
                     "lemmas", "ners", "dependencies", "mentions"]
     schema = T.StructType([f for f in PARSED_W.fields if f.name in out_cols])
 
+    skip = frozenset(skip_words) if skip_words else None
+
     def run(batches):
         for pdf in batches:
             rows = []
@@ -95,6 +103,8 @@ def parse_assertions(
                 parsed = parse_sentence(cleaned)
                 if not parsed["dependencies"]:
                     continue
+                if skip and set(parsed["tokens"]) & skip:
+                    continue  # P8 (extractor.py:393-395)
                 row = {
                     "sid": sid,
                     "relation": rel,

@@ -47,6 +47,7 @@ def run_pipeline(
     micro_batches: int | None = None,
     dedupe_parse: bool = True,
     with_concept_text: bool = False,
+    skip_words=None,
 ) -> dict:
     """Returns {"triples": DataFrame, "stages": {stage: seconds}, ...}.
 
@@ -55,7 +56,8 @@ def run_pipeline(
     store = SnapshotStore(out_dir) if out_dir else None
     timings: dict[str, float] = {}
     fp = (f"v1:n_pages={n_pages}:n_items={n_items}:minp={min_plausibility}"
-          f":extra={max_extra}:dedupe={dedupe_parse}")
+          f":extra={max_extra}:dedupe={dedupe_parse}"
+          f":skip={','.join(sorted(skip_words)) if skip_words else ''}")
 
     def timed(name, fn):
         t0 = time.time()
@@ -123,7 +125,12 @@ def run_pipeline(
     # -- parsing -------------------------------------------------------------
     parsed = timed(
         "parse",
-        lambda: store.stage(spark, "parsed", fp, lambda: parse.parse_assertions(scored, dedupe=dedupe_parse, slim=True)),
+        lambda: store.stage(
+            spark, "parsed", fp,
+            lambda: parse.parse_assertions(
+                scored, dedupe=dedupe_parse, slim=True, skip_words=skip_words
+            ),
+        ),
     )
 
     # -- pattern mining ------------------------------------------------------
