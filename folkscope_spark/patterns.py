@@ -24,6 +24,7 @@ pattern set of at most a few thousand rows, then re-broadcast to the matcher.
 from __future__ import annotations
 
 import json
+import math
 
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
@@ -62,7 +63,8 @@ def enumerate_anchored(
     max_extra: int = 3,
     cap: int = 200,
     skeletonize: bool = True,
-) -> list[Pattern]:
+    with_size: bool = False,
+) -> list:
     """All connected subgraphs containing vertices 0..anchor_len-1 with at
     most ``max_extra`` extra vertices, as normalized canonical patterns.
 
@@ -112,8 +114,8 @@ def enumerate_anchored(
             if ns not in seen:
                 stack.append(ns)
 
-    patterns: list[Pattern] = []
-    emitted: set[Pattern] = set()
+    patterns: list = []
+    emitted: set = set()
     for s in out_sets:
         nodes = sorted(s)
         # reference sweep guards (pattern_miner.py:530)
@@ -121,6 +123,7 @@ def enumerate_anchored(
             continue  # unreachable by construction; kept for parity clarity
         if not check_match_with_must(nodes, deps):
             continue  # no-op with dep labels (reference quirk, see docstring)
+        raw_size = len(nodes)  # pre-skeleton candidate size (gSpan node count)
         if skeletonize:
             kept = [
                 p
@@ -137,7 +140,7 @@ def enumerate_anchored(
             if u in kept_set and v in kept_set
         ]
         pat = normalize_pattern([pos_tags[v] for v in kept], sub_edges, fuzzy=True)
-        if not pat[0] or pat in emitted:
+        if not pat[0] or (pat, raw_size) in emitted:
             continue
         # the reference defers connectivity/forbidden-end to the final
         # freq-pattern write (pattern_miner.py:574); both are deterministic
@@ -145,9 +148,17 @@ def enumerate_anchored(
         # keeps doomed signatures out of the count shuffle entirely
         if not check_connect(pat) or ends_forbidden(pat):
             continue
-        emitted.add(pat)
-        patterns.append(pat)
-    return patterns
+        emitted.add((pat, raw_size))
+        patterns.append((pat, raw_size))
+    if with_size:
+        return patterns
+    seen: set[Pattern] = set()
+    out: list[Pattern] = []
+    for pat, _ in patterns:
+        if pat not in seen:
+            seen.add(pat)
+            out.append(pat)
+    return out
 
 
 def pattern_sig(pat: Pattern) -> str:
@@ -162,17 +173,19 @@ def sig_to_pattern(sig: str) -> Pattern:
 def count_anchored_patterns(
     parsed: DataFrame, max_extra: int = 3
 ) -> DataFrame:
-    """parsed (D6) -> (relation, sig, cnt): the distributed replacement for
-    gSpan transaction counting.  Map-side enumeration emits one row per
-    (sentence, pattern); the shuffle agg is a plain hash aggregate with
-    partial combine."""
+    """parsed (D6) -> (relation, sig, size, cnt): the distributed replacement
+    for gSpan transaction counting.  Map-side enumeration emits one row per
+    (sentence, skeleton-pattern, pre-skeleton size); the shuffle agg is a
+    plain hash aggregate with partial combine.  ``size`` is the candidate's
+    node count before skeletonization — the unit of the reference's adaptive
+    per-size mining schedule (pattern_filter.py:136-153)."""
     lens = anchor_lens()
 
     has_weight = "weight" in parsed.columns
 
     def enum(batches):
         for pdf in batches:
-            rels, sigs, ws = [], [], []
+            rels, sigs, sizes, ws = [], [], [], []
             weights = pdf["weight"] if has_weight else [1.0] * len(pdf)
             for rel, pos_tags, dep_structs, w in zip(
                 pdf["relation"], pdf["pos_tags"], pdf["dependencies"], weights
@@ -181,19 +194,102 @@ def count_anchored_patterns(
                 if alen == 0:
                     continue
                 deps = [(d["gov"], d["rel"], d["dep"]) for d in dep_structs]
-                for pat in enumerate_anchored(list(pos_tags), deps, alen, max_extra):
+                for pat, raw_size in enumerate_anchored(
+                    list(pos_tags), deps, alen, max_extra, with_size=True
+                ):
                     rels.append(rel)
                     sigs.append(pattern_sig(pat))
+                    sizes.append(raw_size)
                     ws.append(float(w))
-            yield pd.DataFrame({"relation": rels, "sig": sigs, "w": ws})
+            yield pd.DataFrame(
+                {"relation": rels, "sig": sigs, "size": sizes, "w": ws}
+            )
 
     cols = ["relation", "pos_tags", "dependencies"] + (["weight"] if has_weight else [])
     return (
         parsed.select(cols)
-        .mapInPandas(enum, schema="relation string, sig string, w double")
-        .groupBy("relation", "sig")
+        .mapInPandas(enum, schema="relation string, sig string, size int, w double")
+        .groupBy("relation", "sig", "size")
         .agg(F.sum("w").cast("long").alias("count"))
     )
+
+
+def length_cdf(parsed: DataFrame) -> dict[str, list[tuple[int, int]]]:
+    """A2 driving the miner (pattern_filter.py:103-105): per-relation sentence
+    token-length counts, computed distributed (one tiny groupBy) and collected
+    as {relation: sorted [(length, count)]} for the driver-side schedule."""
+    has_weight = "weight" in parsed.columns
+    w = F.sum("weight") if has_weight else F.count("*")
+    rows = (
+        parsed.groupBy("relation", F.size("pos_tags").alias("length"))
+        .agg(w.cast("long").alias("cnt"))
+        .collect()
+    )
+    out: dict[str, list[tuple[int, int]]] = {}
+    for r in rows:
+        out.setdefault(r["relation"], []).append((r["length"], r["cnt"]))
+    for v in out.values():
+        v.sort()
+    return out
+
+
+def adaptive_schedule(
+    len_counts: list[tuple[int, int]], anchor_len: int,
+    max_th: float = 0.97,
+) -> dict[int, tuple[int, int]]:
+    """The reference's CDF-driven (min_node, min_freq) mining schedule
+    (pattern_filter.py:119-153): for each candidate size n+delta below the
+    mean sentence length, the frequency floor is
+    ``(N - cum(<size)) * log(1 + mass(size window)/N) * 0.1`` and the ceiling
+    ``(N - cum(<size)) * 0.97``; the walk stops when the floor sinks below
+    the global N*1e-4 cut or the window mass vanishes.
+
+    Returns {size: (min_freq, max_freq)} — empty when the relation is
+    template-less or the corpus is degenerate (the reference exits there)."""
+    if anchor_len <= 0 or not len_counts:
+        return {}
+    # compute_cumulative_function (utils.py:361-370)
+    cum: list[tuple[int, int]] = [(0, 0)]
+    for length, cnt in sorted(len_counts):
+        cum.append((length, cnt + cum[-1][1]))
+    N = cum[-1][1]
+    if N == 0:
+        return {}
+    # get_cumulative_mean (utils.py:373-383)
+    s, prev = 0, (0, 0)
+    for y in cum:
+        s += y[0] * (y[1] - prev[1])
+        prev = y
+    avg = s / N if s > 0 else 0
+
+    def leftmost(x: int) -> int:
+        # get_cumulative_leftmost (utils.py:386-399): cumulative count at the
+        # first length >= x
+        i, j = 0, len(cum)
+        while i < j:
+            k = (i + j) // 2
+            if cum[k][0] < x:
+                i = k + 1
+            else:
+                j = k
+        return cum[i][1] if i < len(cum) else cum[-1][1]
+
+    sched: dict[int, tuple[int, int]] = {}
+    delta = 1
+    while anchor_len + delta < math.ceil(avg):
+        min_node = anchor_len + delta
+        cum1 = leftmost(min_node - 1)
+        cum2 = leftmost(min_node - 1 + delta)
+        min_th = math.log(1 + (cum2 - cum1) / N) * 0.1
+        if min_th < 1e-6:
+            break
+        min_freq = int((N - cum1) * min_th)
+        if min_freq < N * 1e-4:
+            break
+        max_freq = int((N - cum1) * max_th)
+        sched[min_node] = (min_freq, max_freq)
+        delta += 1
+    return sched
 
 
 def finish_patterns(
@@ -201,6 +297,7 @@ def finish_patterns(
     sentence_counts: dict[str, int],
     min_freq_ratio: float = 1e-4,
     min_freq_abs: int = 2,
+    schedules: dict[str, dict[int, tuple[int, int]]] | None = None,
 ) -> dict[str, dict]:
     """Driver-side miner finishing.  Returns, per relation::
 
@@ -227,12 +324,60 @@ def finish_patterns(
     if not cut_rows:
         return {}
     cuts = spark.createDataFrame(cut_rows, "relation string, cut long")
-    rows = (
-        pattern_counts.join(F.broadcast(cuts), "relation")
-        .filter(F.col("count") >= F.col("cut"))
-        .select("relation", "sig", "count")
-        .collect()
-    )
+    # size-collapse first when running flat; with the adaptive schedule the
+    # per-(relation, size) band cut applies before the collapse, like the
+    # reference's per-size gSpan bounds (pattern_filter.py:136-153)
+    if schedules:
+        band_rows = [
+            (rel, size, mn, mx)
+            for rel, sched in schedules.items()
+            for size, (mn, mx) in sched.items()
+        ]
+        if not band_rows:
+            return {}
+        bands = spark.createDataFrame(
+            band_rows, "relation string, size int, min_freq long, max_freq long"
+        )
+        survivors = (
+            pattern_counts.join(F.broadcast(bands), ["relation", "size"])
+            .filter(
+                (F.col("count") >= F.col("min_freq"))
+                & (F.col("count") <= F.col("max_freq"))
+            )
+            .join(F.broadcast(cuts), "relation")
+            .filter(F.col("count") >= F.col("cut"))
+            .select("relation", "sig", "size", "count")
+        )
+        rows = survivors.collect()
+        # per-relation early stop: walk scheduled sizes ascending, discard
+        # everything after two consecutive empty sizes (pattern_filter.py:
+        # 192-200's early_stop > 1)
+        by_size: dict[str, dict[int, list]] = {}
+        for r in rows:
+            by_size.setdefault(r["relation"], {}).setdefault(r["size"], []).append(r)
+        kept_rows = []
+        for rel, sched in schedules.items():
+            empties = 0
+            for size in sorted(sched):
+                got = by_size.get(rel, {}).get(size, [])
+                if not got:
+                    empties += 1
+                    if empties > 1:
+                        break
+                    continue
+                empties = 0
+                kept_rows.extend(got)
+        rows = kept_rows
+    else:
+        collapsed = pattern_counts.groupBy("relation", "sig").agg(
+            F.sum("count").alias("count")
+        )
+        rows = (
+            collapsed.join(F.broadcast(cuts), "relation")
+            .filter(F.col("count") >= F.col("cut"))
+            .select("relation", "sig", "count")
+            .collect()
+        )
     by_rel: dict[str, list[tuple[Pattern, int]]] = {}
     for r in rows:
         by_rel.setdefault(r["relation"], []).append((sig_to_pattern(r["sig"]), r["count"]))

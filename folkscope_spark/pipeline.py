@@ -48,6 +48,7 @@ def run_pipeline(
     dedupe_parse: bool = True,
     with_concept_text: bool = False,
     skip_words=None,
+    adaptive_mining: bool = False,
 ) -> dict:
     """Returns {"triples": DataFrame, "stages": {stage: seconds}, ...}.
 
@@ -145,9 +146,22 @@ def run_pipeline(
         r["relation"]: int(r["n"])
         for r in parsed.groupBy("relation").agg(F.sum("weight").alias("n")).collect()
     }
+    schedules = None
+    if adaptive_mining:
+        # the reference's CDF-driven per-size frequency schedule
+        # (pattern_filter.py:119-153): one tiny distributed groupBy feeds a
+        # driver-side walk; the resulting bands cut executor-side
+        lens = patterns.anchor_lens()
+        cdf = patterns.length_cdf(parsed)
+        schedules = {
+            rel: patterns.adaptive_schedule(cnts, lens.get(rel, 0))
+            for rel, cnts in cdf.items()
+        }
     mined = timed(
         "mine_finish",
-        lambda: patterns.finish_patterns(pattern_counts, sent_counts),
+        lambda: patterns.finish_patterns(
+            pattern_counts, sent_counts, schedules=schedules
+        ),
     )
     # template-less `open` relation matches against the merged cross-relation
     # pattern set (scripts/run_match.sh:13-16; pattern_merge semantics)

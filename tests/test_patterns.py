@@ -123,3 +123,60 @@ def test_finish_patterns_cut_is_relational():
     # same-size isomorphic duplicates, so both remain), sorted desc
     assert len(pats) == 2
     assert mined["capableOf"]["freqs"] == [400, 500]
+
+
+def test_adaptive_schedule_dense_cdf():
+    """Transcription check of pattern_filter.py:119-153 on a dense length
+    distribution (hand-computed): bands exist for sizes n+1..ceil(avg)-1,
+    floors decay with the log window mass, ceilings are 0.97 of the
+    containable mass."""
+    import math
+    from folkscope_spark.patterns import adaptive_schedule
+
+    # 1000 sentences, lengths 4..19 uniform (dense CDF), anchor 5
+    len_counts = [(l, 62) for l in range(4, 20)]  # plus remainder on 19
+    len_counts[-1] = (19, 62 + 1000 - 62 * 16)
+    N = sum(c for _, c in len_counts)
+    sched = adaptive_schedule(len_counts, 5)
+    assert sched, "dense CDF must produce a schedule"
+    avg = sum(l * c for l, c in len_counts) / N
+    assert all(5 < size < math.ceil(avg) for size in sched)
+    # hand-check the first band: min_node=6, delta=1
+    cum1 = sum(c for l, c in len_counts if l <= 5)      # leftmost(5) on dense
+    cum2 = sum(c for l, c in len_counts if l <= 6)      # leftmost(6)
+    min_th = math.log(1 + (cum2 - cum1) / N) * 0.1
+    assert sched[6] == (int((N - cum1) * min_th), int((N - cum1) * 0.97))
+    # floors are monotone enough to terminate
+    assert len(sched) <= math.ceil(avg) - 6 + 1
+
+
+def test_adaptive_schedule_sparse_cdf_is_empty():
+    """With only a couple of distinct lengths the reference's leftmost()
+    window has zero mass and the walk exits immediately — pinned behavior
+    (the synthetic corpus is deliberately regular)."""
+    from folkscope_spark.patterns import adaptive_schedule
+
+    assert adaptive_schedule([(8, 428), (9, 229)], 5) == {}
+
+
+def test_finish_patterns_with_schedule_bands():
+    """Per-(relation, size) band cut + early stop applied executor-side."""
+    from folkscope_spark.session import get_spark
+    from folkscope_spark.patterns import finish_patterns, pattern_sig
+
+    spark = get_spark(app="t", master="local[4]", shuffle_partitions=4)
+    p_small = pattern_sig((("PRP", "DT", "VBP"), ((2, "nsubj", 0), (2, "det", 1))))
+    p_big = pattern_sig(
+        (("PRP", "DT", "VBP", "NN"), ((2, "nsubj", 0), (2, "det", 1), (2, "obj", 3)))
+    )
+    rows = [
+        ("capableOf", p_small, 6, 500),   # in band for size 6
+        ("capableOf", p_big, 7, 40),      # below size-7 floor -> cut
+        ("capableOf", p_big, 6, 2000),    # above size-6 ceiling -> cut
+    ]
+    pc = spark.createDataFrame(rows, "relation string, sig string, size int, count long")
+    sched = {"capableOf": {6: (100, 1000), 7: (100, 1000)}}
+    mined = finish_patterns(pc, {"capableOf": 10_000}, schedules=sched)
+    pats = mined["capableOf"]["patterns"]
+    assert len(pats) == 1 and len(pats[0][0]) == 3
+    assert mined["capableOf"]["freqs"] == [500]
