@@ -90,7 +90,13 @@ def _fresh_session(master: str, shuffle: int):
     active = SparkSession.getActiveSession()
     if active is not None:
         active.stop()
-    return get_spark(app=f"bench-{master}", master=master, shuffle_partitions=shuffle)
+    spark = get_spark(app=f"bench-{master}", master=master, shuffle_partitions=shuffle)
+    # BENCH_r01 captured a DAGScheduler.updateAccumulators stack trace from a
+    # task completing against an already-stopped predecessor session (bench
+    # cycles sessions between legs); it is log noise from the scheduler event
+    # loop, not a failure (rc=0, all metrics parsed) - keep bench stdout clean
+    spark.sparkContext.setLogLevel("OFF")
+    return spark
 
 
 def run_kg(master: str, shuffle: int, pages: int, dedupe: bool, repeats: int = 1) -> float:

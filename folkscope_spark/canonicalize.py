@@ -252,12 +252,91 @@ def connected_components(
     return _resolve(mapping)
 
 
+def _lsh_cc_driver(
+    texts: list[str],
+    jaccard_threshold: float,
+    n_hashes: int,
+    n_bands: int,
+    max_bucket: int = 256,
+) -> list[tuple[str, str]]:
+    """Single-process MinHash-LSH + union-find for dimension-sized form sets.
+
+    Same candidate->verify->cluster semantics as the distributed path; the
+    minhash permutations are md5-derived here (deterministic) while the
+    distributed path uses xxhash64 — band assignment can differ between the
+    two, but membership of a >= threshold Jaccard cluster is decided by the
+    exact verify step either way.  Exists because the distributed chain is
+    ~8 small jobs whose fixed scheduling latency dominates at dimension scale
+    (the round-1 scaling bottleneck); here it is one collect."""
+    import hashlib
+
+    tok_sets = []
+    for t in texts:
+        tok_sets.append(frozenset((t or "").lower().split()))
+    rows = n_hashes // n_bands
+
+    def mh(tokens: frozenset) -> list[int]:
+        sig = []
+        for seed in range(n_hashes):
+            best = None
+            for tok in tokens:
+                h = int.from_bytes(
+                    hashlib.md5(("%d\x1f%s" % (seed, tok)).encode()).digest()[:8], "big"
+                )
+                if best is None or h < best:
+                    best = h
+            sig.append(best if best is not None else 0)
+        return sig
+
+    buckets: dict[tuple[int, tuple], list[int]] = {}
+    sigs = [mh(s) for s in tok_sets]
+    for i, sig in enumerate(sigs):
+        for b in range(n_bands):
+            key = (b, tuple(sig[b * rows : (b + 1) * rows]))
+            buckets.setdefault(key, []).append(i)
+
+    parent = list(range(len(texts)))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    seen_pairs: set[tuple[int, int]] = set()
+    for members in buckets.values():
+        if len(members) > max_bucket:  # hot-bucket cap, as distributed
+            continue
+        for ai in range(len(members)):
+            for bi in range(ai + 1, len(members)):
+                a, b = members[ai], members[bi]
+                if a > b:
+                    a, b = b, a
+                if (a, b) in seen_pairs:
+                    continue
+                seen_pairs.add((a, b))
+                sa, sb = tok_sets[a], tok_sets[b]
+                union = len(sa | sb)
+                if union and len(sa & sb) / union >= jaccard_threshold:
+                    ra, rb = find(a), find(b)
+                    if ra != rb:
+                        lo, hi = (ra, rb) if texts[ra] < texts[rb] else (rb, ra)
+                        parent[hi] = lo
+    out = []
+    for i, t in enumerate(texts):
+        canon = texts[find(i)]
+        if canon != t:
+            out.append((t, canon))
+    return out
+
+
 def canonicalize_surface_forms(
     df: DataFrame,
     text_col: str = "obj",
     jaccard_threshold: float = 0.9,
     n_hashes: int = 16,
     n_bands: int = 4,
+    driver_threshold: int = 200_000,
 ) -> DataFrame:
     """Return (text, canonical_text) — the LSH+CC rewrite table for a column
     of surface forms, containing **only non-identity rewrites**
@@ -265,8 +344,22 @@ def canonicalize_surface_forms(
     appear; consumers rewrite with a left join + ``coalesce`` (see
     ``materialize.build_triples``).  This keeps the table dimension-sized —
     one row per *rewritten* form, not per distinct form — so broadcasting it
-    stays viable at web scale (ADVICE r1)."""
-    forms = df.select(F.col(text_col).alias("text")).distinct()
+    stays viable at web scale (ADVICE r1).
+
+    Form sets up to ``driver_threshold`` distinct values run the
+    single-process LSH+union-find fast path (one distinct + collect instead
+    of the ~8-job distributed chain — the chain's fixed scheduling latency
+    was the round-1 scaling bottleneck); larger sets take the fully
+    distributed path."""
+    spark = df.sparkSession
+    forms = df.select(F.col(text_col).alias("text")).distinct().cache()
+    n_forms = forms.count()
+    if n_forms <= driver_threshold:
+        pairs = _lsh_cc_driver(
+            [r["text"] for r in forms.collect()],
+            jaccard_threshold, n_hashes, n_bands,
+        )
+        return spark.createDataFrame(pairs, "text string, canonical_text string")
     toks = tokenize_col(forms, "text").withColumn("id", F.col("text"))
     sigs = minhash_signatures(toks, "id", n_hashes)
     pairs = lsh_candidate_pairs(sigs, "id", n_bands, n_hashes=n_hashes)

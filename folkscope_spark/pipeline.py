@@ -72,8 +72,11 @@ def run_pipeline(
         fuses them into their consumer's job (fewer barriers, no redundant
         materialization — e.g. generate+score+parse pipeline into one stage)."""
 
-        # concept_rows stays cached: two consumers (A4 agg + concept triples)
-        _LAZY = {"assertions", "pattern_counts", "canon_map"}
+        # concept_rows stays cached: two consumers (A4 agg + concept triples).
+        # eventualities (merged) is lazy: its only consumer is conceptualize,
+        # so Spark fuses merge into that job (and skips it entirely when
+        # with_concepts=False)
+        _LAZY = {"assertions", "pattern_counts", "canon_map", "eventualities"}
 
         def stage(self, _spark, name, _fp, build, **kw):
             df = build()
