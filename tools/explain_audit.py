@@ -107,6 +107,48 @@ def main():
         ],
     )
 
+    # scale-safe W4: aggregation happens before the (tiny) window
+    audit(
+        "w4_pr_binned (bin agg before tiny cumulative window)",
+        qs["w4_pr_binned"](spark, SF),
+        [
+            ("partial+final hash agg on bins", r"HashAggregate", True),
+            ("window present (over binned rows only)", r"Window", True),
+        ],
+    )
+
+    # dictionary ids without a single-partition window
+    from folkscope_spark.dictionary import build_dictionary
+
+    li = spark.read.parquet(SF + "/part.parquet")
+    audit(
+        "build_dictionary (two-pass rank ids, no global window)",
+        build_dictionary(li, "p_brand"),
+        [
+            ("no window operator anywhere", r"\bWindow\b", False),
+            ("range-partitioned local sort", r"(?i)rangepartitioning", True),
+        ],
+    )
+
+    # relational NER merge: posexplode + sum, no whole-variant collect
+    from folkscope_spark.match import merge_eventualities
+
+    ev = spark.createDataFrame(
+        [("e1", "capableOf", "p", ["a"], ["NN"], [], [0], [0], ["O"], 1.0, "s1")],
+        "eid string, relation string, pattern_sig string, words array<string>, "
+        "pos_tags array<string>, dependencies array<struct<gov:int,rel:string,dep:int>>, "
+        "skeleton_indices array<int>, verb_indices array<int>, ners array<string>, "
+        "frequency double, sid string",
+    )
+    audit(
+        "merge_eventualities (relational positional NER merge)",
+        merge_eventualities(ev),
+        [
+            ("posexplode generator present", r"Generate", True),
+            ("no collect_set of sentence ids", r"collect_set", False),
+        ],
+    )
+
     with open("/root/repo/PLANS.md", "w") as f:
         f.write("# Physical-plan audit (generated by tools/explain_audit.py)\n\n")
         f.write("Asserted plan properties for the load-bearing operators; the full\n")
