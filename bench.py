@@ -90,7 +90,11 @@ def _fresh_session(master: str, shuffle: int):
     active = SparkSession.getActiveSession()
     if active is not None:
         active.stop()
-    spark = get_spark(app=f"bench-{master}", master=master, shuffle_partitions=shuffle)
+    spark = get_spark(
+        app=f"bench-{master}", master=master, shuffle_partitions=shuffle,
+        # keep the driver-captured bench stream clean: no stage progress bars
+        extra={"spark.ui.showConsoleProgress": "false"},
+    )
     # BENCH_r01 captured a DAGScheduler.updateAccumulators stack trace from a
     # task completing against an already-stopped predecessor session (bench
     # cycles sessions between legs); it is log noise from the scheduler event

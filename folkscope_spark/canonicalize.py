@@ -270,29 +270,43 @@ def _lsh_cc_driver(
     (the round-1 scaling bottleneck); here it is one collect."""
     import hashlib
 
+    import numpy as np
+
     tok_sets = []
     for t in texts:
         tok_sets.append(frozenset((t or "").lower().split()))
     rows = n_hashes // n_bands
 
-    def mh(tokens: frozenset) -> list[int]:
-        sig = []
-        for seed in range(n_hashes):
-            best = None
-            for tok in tokens:
-                h = int.from_bytes(
-                    hashlib.md5(("%d\x1f%s" % (seed, tok)).encode()).digest()[:8], "big"
-                )
-                if best is None or h < best:
-                    best = h
-            sig.append(best if best is not None else 0)
-        return sig
+    # vectorized minhash: one md5 per distinct token, then n_hashes
+    # multiply-add permutations (md5-derived constants) applied in numpy —
+    # the per-(seed, token) hashing loop was itself a fixed driver cost
+    vocab: dict[str, int] = {}
+    for s in tok_sets:
+        for tok in s:
+            if tok not in vocab:
+                vocab[tok] = len(vocab)
+    base = np.empty(max(len(vocab), 1), dtype=np.uint64)
+    for tok, i in vocab.items():
+        base[i] = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+    consts = [
+        hashlib.md5(b"perm-%d" % s).digest() for s in range(n_hashes)
+    ]
+    A = np.array(
+        [int.from_bytes(c[:8], "big") | 1 for c in consts], dtype=np.uint64
+    )
+    B = np.array([int.from_bytes(c[8:16], "big") for c in consts], dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        mixed = A[:, None] * base[None, :] + B[:, None]  # (n_hashes, V), mod 2^64
 
     buckets: dict[tuple[int, tuple], list[int]] = {}
-    sigs = [mh(s) for s in tok_sets]
-    for i, sig in enumerate(sigs):
+    for i, s in enumerate(tok_sets):
+        if s:
+            idx = np.fromiter((vocab[t] for t in s), dtype=np.int64, count=len(s))
+            sig = mixed[:, idx].min(axis=1)
+        else:
+            sig = np.zeros(n_hashes, dtype=np.uint64)
         for b in range(n_bands):
-            key = (b, tuple(sig[b * rows : (b + 1) * rows]))
+            key = (b, tuple(sig[b * rows : (b + 1) * rows].tolist()))
             buckets.setdefault(key, []).append(i)
 
     parent = list(range(len(texts)))

@@ -311,16 +311,26 @@ def sort_patterns(patterns: list[Pattern]) -> list[Pattern]:
 def dedupe_by_subsumption(patterns: list[Pattern]) -> list[Pattern]:
     """Drop pattern j if an earlier (>= size) pattern i contains it
     sub-isomorphically (pattern_match.py:32-48, pattern_miner.py:464-478).
-    O(n^2) over a tiny collected set — driver-side by design."""
+    O(n^2) over a tiny collected set — driver-side by design.
+
+    The reference's needle direction (find the *larger* pattern i inside the
+    smaller graph j) means a hit is only possible when vertex and edge counts
+    are equal — i.e. the sweep only ever removes same-size isomorphic
+    duplicates (pinned quirk, SURVEY §3.4).  The explicit size guard below
+    skips the impossible pairs without any semantic change, collapsing the
+    sweep from O(n^2) VF2 calls to per-size-bucket work."""
     patterns = sort_patterns(patterns)
     graphs = [graph_of(pt) for pt in patterns]
     dup: set[int] = set()
     for i in range(len(patterns)):
         if i in dup:
             continue
+        ni, ei = len(patterns[i][0]), len(patterns[i][1])
         for j in range(i + 1, len(patterns)):
             if j in dup:
                 continue
+            if len(patterns[j][0]) != ni or len(patterns[j][1]) != ei:
+                continue  # needle larger than haystack: VF2 cannot match
             if subisomorphic(graphs[j], graphs[i]):
                 dup.add(j)
     return [pt for k, pt in enumerate(patterns) if k not in dup]
