@@ -9,6 +9,12 @@ The pipeline parity test (SURVEY.md §5.2 #3) compares the distributed
 pipeline's triples against this oracle: P/R target >= 0.95 (BASELINE.json);
 a distributed-plumbing bug (wrong join key, lost rows in a shuffle, bad
 merge) shows up as a set difference here.
+
+Role split (VERDICT r1, item 2): this module deliberately REUSES the repo's
+kernels, so it proves the *distributed plumbing* only.  Kernel parity with
+the reference's match semantics is proven separately by
+``tests/reference_port.py`` — a literal transcription with zero
+folkscope_spark imports — via ``tests/test_reference_port.py``.
 """
 
 from __future__ import annotations

@@ -58,3 +58,45 @@ def test_stream_tumbling_window_equals_batch(spark, tmp_path_factory):
         for r in spark.sql("SELECT * FROM win_counts").collect()
     }
     assert got == want
+
+
+def test_stateful_dedupe_stream_first_wins(spark, tmp_path_factory):
+    """applyInPandasWithState dedupe: duplicates across micro-batches are
+    dropped; exactly one row per key survives, and it is the first-batch one."""
+    import pandas as pd
+
+    src = str(tmp_path_factory.mktemp("docs_src"))
+    # two files -> two micro-batches (maxFilesPerTrigger=1); fp2 repeats
+    spark.createDataFrame(
+        [("fp1", "doc-a"), ("fp2", "doc-b")], "fingerprint string, body string"
+    ).coalesce(1).write.mode("overwrite").parquet(src + "/f1")
+    spark.createDataFrame(
+        [("fp2", "doc-b-dup"), ("fp3", "doc-c")], "fingerprint string, body string"
+    ).coalesce(1).write.mode("overwrite").parquet(src + "/f2")
+
+    from folkscope_spark.streaming import dedupe_stream
+
+    stream = (
+        spark.readStream.schema("fingerprint string, body string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    deduped = dedupe_stream(stream, "fingerprint", ["body"])
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedupe_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        r["fingerprint"]: r["body"]
+        for r in spark.sql("SELECT * FROM dedupe_out WHERE fingerprint IS NOT NULL").collect()
+    }
+    assert set(rows) == {"fp1", "fp2", "fp3"}
+    # fp2's duplicate arrival was dropped: only one surviving body per key
+    n = spark.sql(
+        "SELECT COUNT(*) AS n FROM dedupe_out WHERE fingerprint = 'fp2'"
+    ).collect()[0]["n"]
+    assert n == 1
