@@ -30,6 +30,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# local-mode driver == executor: give the columnar caches headroom at
+# 100k-page scale (the JVM heap is fixed by the first session in the process)
+os.environ.setdefault("SPARK_DRIVER_MEM", "16g")
+
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 KG_PAGES = int(os.environ.get("BENCH_KG_PAGES", "100000"))

@@ -199,6 +199,14 @@ def match_patterns(
 
     def run(batches):
         prepared = _cache.get(mined)
+        # eid-determined fat columns (pos_tags, dependencies, skeleton/verb
+        # indices, pattern_sig) are emitted once per eid per partition and
+        # null elsewhere: at web scale an eventuality recurs across many
+        # sentences, and duplicating its parse structure per occurrence is
+        # the dominant byte volume of this stage's cache/shuffle.  The merge
+        # reconstitutes them with first(ignorenulls).  Per-row columns
+        # (sid, ners, frequency, words-for-obj_text) stay dense.
+        fat_seen: set[str] = set()
         for pdf in batches:
             rows = []
             weights = pdf["weight"] if has_weight else [1.0] * len(pdf)
@@ -220,20 +228,25 @@ def match_patterns(
                 if subset_dedupe:
                     extracted = skeleton_subset_dedupe(extracted)
                 for ev in extracted:
+                    first_time = ev["eid"] not in fat_seen
+                    if first_time:
+                        fat_seen.add(ev["eid"])
                     rows.append(
                         {
                             "eid": ev["eid"],
                             "sid": sid,
                             "relation": rel,
-                            "pattern_sig": ev["pattern_sig"],
+                            "pattern_sig": ev["pattern_sig"] if first_time else None,
                             "words": ev["words"],
-                            "pos_tags": ev["pos_tags"],
+                            "pos_tags": ev["pos_tags"] if first_time else None,
                             "dependencies": [
                                 {"gov": g, "rel": r, "dep": d}
                                 for g, r, d in ev["dependencies"]
-                            ],
-                            "skeleton_indices": ev["skeleton_indices"],
-                            "verb_indices": ev["verb_indices"],
+                            ]
+                            if first_time
+                            else None,
+                            "skeleton_indices": ev["skeleton_indices"] if first_time else None,
+                            "verb_indices": ev["verb_indices"] if first_time else None,
                             "ners": ev["ners"],
                             "frequency": float(w),
                         }
@@ -270,12 +283,14 @@ def merge_eventualities(events: DataFrame) -> DataFrame:
     from pyspark.sql import functions as F
 
     base = events.groupBy("eid", "relation").agg(
-        F.first("pattern_sig").alias("pattern_sig"),
-        F.first("words").alias("words"),
-        F.first("pos_tags").alias("pos_tags"),
-        F.first("dependencies").alias("dependencies"),
-        F.first("skeleton_indices").alias("skeleton_indices"),
-        F.first("verb_indices").alias("verb_indices"),
+        # ignorenulls: the matcher thins eid-determined columns to one
+        # non-null emission per eid per partition (see match_patterns)
+        F.first("pattern_sig", ignorenulls=True).alias("pattern_sig"),
+        F.first("words", ignorenulls=True).alias("words"),
+        F.first("pos_tags", ignorenulls=True).alias("pos_tags"),
+        F.first("dependencies", ignorenulls=True).alias("dependencies"),
+        F.first("skeleton_indices", ignorenulls=True).alias("skeleton_indices"),
+        F.first("verb_indices", ignorenulls=True).alias("verb_indices"),
         F.sum("frequency").alias("frequency"),
         F.count("*").alias("n_sentences"),
     )
