@@ -709,11 +709,14 @@ def q_fs_sentence_embed(spark, sf):  # J7 deterministic sentence embedding
 
 
 def q_fs_kg_tensors(spark, sf):  # D12/J8 integer triple export
+    """Oracle-checked: dictionary ids are global key ranks, so the DuckDB twin
+    recomputes rel_id as ROW_NUMBER over distinct preds.  Deterministic subset
+    via a key filter (LIMIT order is engine-dependent)."""
     from folkscope_spark.features import export_kg_tensors
 
     t = (
         _t(spark, sf, "lineitem")
-        .limit(5000)
+        .filter(F.col("l_orderkey") <= 2000)
         .select(
             F.col("l_orderkey").cast("string").alias("subj"),
             F.col("l_returnflag").alias("pred"),
@@ -1134,6 +1137,15 @@ def oracle_sql() -> dict[str, str]:
             "FROM embeddings CROSS JOIN q WHERE vec_id != 0 "
             "ORDER BY cosine DESC, vec_id ASC LIMIT 10"
         ),
-        # fs_* pipeline operators: non-SQL-expressible (graph matching, custom
-        # UDF kernels) -> rows-only checks, intentionally no oracle here.
+        "fs_kg_tensors": (
+            "WITH t AS (SELECT l_returnflag AS pred FROM lineitem "
+            "WHERE l_orderkey <= 2000), "
+            "rel AS (SELECT pred, (ROW_NUMBER() OVER (ORDER BY pred) - 1)::BIGINT AS rel_id "
+            "FROM (SELECT DISTINCT pred FROM t)) "
+            "SELECT rel_id, COUNT(*)::BIGINT AS n FROM t JOIN rel USING (pred) "
+            "GROUP BY rel_id"
+        ),
+        # remaining fs_* operators: non-SQL-expressible (Python-regex cleaner,
+        # rule parser, graph matching, hash-kernel canonicalize/conceptualize,
+        # multimodal) -> rows-only checks, intentionally no oracle here.
     }
