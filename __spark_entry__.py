@@ -355,6 +355,22 @@ def q_skew_salted_count(spark, sf):  # north_rule salted hot-key aggregation
     return salted_count(li, "l_returnflag")
 
 
+def q_skew_aware_join(spark, sf):  # north_rule hot-key broadcast join split
+    """Hot keys (here: every l_returnflag is Zipf-hot) join via a broadcast
+    of the hot sub-dictionary, the tail via shuffle — result must equal the
+    plain inner join, which is what the DuckDB twin computes."""
+    from folkscope_spark.dictionary import skew_aware_join
+
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_linenumber", "l_returnflag")
+    dim = spark.createDataFrame(
+        [("A", "accepted"), ("N", "none"), ("R", "returned")],
+        "l_returnflag string, flag_name string",
+    )
+    return skew_aware_join(li, dim, "l_returnflag").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "flag_name"
+    )
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline operators (documents / embeddings)
 
@@ -851,6 +867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_metrics": q_rollup_metrics,
         "j8_dictionary": q_j8_dictionary,
         "skew_salted_count": q_skew_salted_count,
+        "skew_aware_join": q_skew_aware_join,
         "ann_ivf_bucketed": q_ann_ivf_bucketed,
         "dedup_exact": q_dedup_exact,
         "fingerprint": q_fingerprint,
@@ -1012,6 +1029,11 @@ def oracle_sql() -> dict[str, str]:
         "skew_salted_count": (
             "SELECT l_returnflag, COUNT(*)::BIGINT AS cnt FROM lineitem "
             "GROUP BY l_returnflag"
+        ),
+        "skew_aware_join": (
+            "SELECT l_orderkey, l_linenumber, l_returnflag, "
+            "CASE l_returnflag WHEN 'A' THEN 'accepted' WHEN 'N' THEN 'none' "
+            "WHEN 'R' THEN 'returned' END AS flag_name FROM lineitem"
         ),
         "dedup_exact": (
             "SELECT text, COUNT(*)::BIGINT AS n_copies, MIN(doc_id)::BIGINT AS keep_doc_id "

@@ -85,6 +85,36 @@ def salted_count(df: DataFrame, key_col: str, n_salts: int = N_SALTS) -> DataFra
     return partial.groupBy(key_col).agg(F.sum("_c").cast("long").alias("cnt"))
 
 
+def skew_aware_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    key_col: str,
+    hot_keys: DataFrame | None = None,
+    threshold_ratio: float = 0.001,
+) -> DataFrame:
+    """Inner-join ``facts`` with a dictionary ``dim`` on ``key_col`` with the
+    north_rule hot-key split: the Zipf-hot head keys (detected with one salted
+    count pass, or passed in) join through a **broadcast of the hot
+    sub-dictionary** — no shuffle ever sees a hot key's fan-in — while the
+    long tail takes the ordinary shuffled equi-join.  Result is the exact
+    union of the two disjoint slices (same rows as a plain inner join; AQE
+    alone splits skewed join partitions but still shuffles the hot rows).
+
+    Use when ``dim`` is too large to broadcast whole (10^9-entity
+    dictionaries); otherwise ``F.broadcast(dim)`` is strictly better."""
+    if hot_keys is None:
+        hot_keys = detect_hot_keys(facts, key_col, threshold_ratio)
+    hot = hot_keys.select(key_col)
+    hot_dim = dim.join(F.broadcast(hot), key_col, "left_semi")
+    hot_part = facts.join(F.broadcast(hot), key_col, "left_semi").join(
+        F.broadcast(hot_dim), key_col
+    )
+    cold_part = facts.join(F.broadcast(hot), key_col, "left_anti").join(
+        dim, key_col
+    )
+    return hot_part.unionByName(cold_part)
+
+
 def detect_hot_keys(
     df: DataFrame, key_col: str, threshold_ratio: float = 0.001, max_keys: int = 10000
 ) -> DataFrame:

@@ -82,10 +82,21 @@ def item_feature_means(triples_emb: DataFrame) -> DataFrame:
     )
 
 
-def export_kg_tensors(triples: DataFrame) -> dict[str, DataFrame]:
+def export_kg_tensors(
+    triples: DataFrame, broadcast_entities_below: int = 50_000_000
+) -> dict[str, DataFrame]:
     """D12/J8: contiguous integer ids + (head_id, rel_id, tail_id) triple
     tensor — the reference's TransE input (preprocess.py:101-127).
-    Dictionaries broadcast back onto the fact table."""
+
+    The relation dictionary (tens of rows) always broadcasts.  The entity
+    dictionary broadcasts only while it fits
+    (``broadcast_entities_below``); beyond that the joins switch to the
+    north_rule skew-aware split (:func:`folkscope_spark.dictionary.
+    skew_aware_join`): hot head entities resolve through a broadcast of the
+    hot sub-dictionary, the long tail through the shuffled equi-join —
+    hot-key fan-in never crosses a shuffle."""
+    from .dictionary import skew_aware_join
+
     ent = build_dictionary(
         triples.select(F.col("subj").alias("key"))
         .union(triples.select(F.col("obj").alias("key")))
@@ -93,19 +104,18 @@ def export_kg_tensors(triples: DataFrame) -> dict[str, DataFrame]:
         "key",
     )
     rel = build_dictionary(triples, "pred")
-    facts = (
-        triples.join(
-            F.broadcast(ent).withColumnRenamed("key", "subj").withColumnRenamed("id", "head_id"),
-            "subj",
-        )
-        .join(
-            F.broadcast(rel).withColumnRenamed("key", "pred").withColumnRenamed("id", "rel_id"),
-            "pred",
-        )
-        .join(
-            F.broadcast(ent).withColumnRenamed("key", "obj").withColumnRenamed("id", "tail_id"),
-            "obj",
-        )
-        .select("head_id", "rel_id", "tail_id")
+    n_ent = ent.count()
+
+    def attach(df, col, out_id):
+        dim = ent.withColumnRenamed("key", col).withColumnRenamed("id", out_id)
+        if n_ent <= broadcast_entities_below:
+            return df.join(F.broadcast(dim), col)
+        return skew_aware_join(df, dim, col)
+
+    facts = attach(triples, "subj", "head_id")
+    facts = facts.join(
+        F.broadcast(rel).withColumnRenamed("key", "pred").withColumnRenamed("id", "rel_id"),
+        "pred",
     )
+    facts = attach(facts, "obj", "tail_id").select("head_id", "rel_id", "tail_id")
     return {"entities": ent, "relations": rel, "facts": facts}

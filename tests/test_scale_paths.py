@@ -128,3 +128,39 @@ def test_merge_skew_eid_many_variants(spark):
     assert r["ner_counters"][0] == {"O": 5000.0}
     assert sum(r["ner_counters"][1].values()) == 5000.0
     assert set(r["ner_counters"][1]) == set(labels)
+
+
+def test_skew_aware_join_equals_plain_join(spark):
+    """Hot/cold split join == plain inner join, with the hot slice resolved
+    through the broadcast sub-dictionary."""
+    from folkscope_spark.dictionary import detect_hot_keys, skew_aware_join
+
+    facts = spark.createDataFrame(
+        [("hot", i) for i in range(500)] + [("k%d" % i, i) for i in range(50)],
+        "key string, v int",
+    )
+    dim = spark.createDataFrame(
+        [("hot", 0)] + [("k%d" % i, i + 1) for i in range(50)],
+        "key string, id int",
+    )
+    hot = detect_hot_keys(facts, "key", threshold_ratio=0.5)
+    assert [r["key"] for r in hot.collect()] == ["hot"]
+    got = skew_aware_join(facts, dim, "key", hot_keys=hot)
+    plain = facts.join(dim, "key")
+    assert got.count() == plain.count() == 550
+    diff = got.exceptAll(plain).count() + plain.exceptAll(got).count()
+    assert diff == 0
+
+
+def test_export_kg_tensors_skew_path_matches_broadcast(spark):
+    """The skew-aware entity join (forced via threshold 0) produces the same
+    facts tensor as the broadcast path."""
+    from folkscope_spark.features import export_kg_tensors
+
+    t = spark.createDataFrame(
+        [("s%d" % (i % 5), "p%d" % (i % 2), "o%d" % (i % 7), 0.5) for i in range(200)],
+        "subj string, pred string, obj string, score double",
+    )
+    a = export_kg_tensors(t)["facts"]
+    b = export_kg_tensors(t, broadcast_entities_below=0)["facts"]
+    assert a.exceptAll(b).count() + b.exceptAll(a).count() == 0
