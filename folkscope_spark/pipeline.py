@@ -266,11 +266,14 @@ def run_pipeline(
 
         def build_concept_triples():
             # conceptualized KG variant: (pair) --rel--> concept, scored by
-            # plausibility x concept likelihood (readme.md:48-62 analog)
+            # plausibility x concept likelihood (readme.md:48-62 analog).
+            # join keyed (eid, relation): concept text depends on the
+            # relation's template-prefix masking, so an eid extracted under
+            # two relations must not cross-pair
             ev = event_triples_src.select("eid", "subj", "relation", "plausibility")
             return (
-                concept_rows.select("eid", "concept_text", "score")
-                .join(ev, "eid")
+                concept_rows.select("eid", "relation", "concept_text", "score")
+                .join(ev, ["eid", "relation"])
                 .select(
                     "subj",
                     F.col("relation").alias("pred"),

@@ -52,6 +52,19 @@ def oracle_triples(
     min_freq_ratio: float = 1e-4,
     min_freq_abs: int = 2,
 ) -> set[tuple[str, str, str]]:
+    return oracle_kg(
+        n_pages, n_items, max_extra, num_sequences, min_freq_ratio, min_freq_abs
+    )["triples"]
+
+
+def oracle_kg(
+    n_pages: int,
+    n_items: int,
+    max_extra: int = 2,
+    num_sequences: int = 3,
+    min_freq_ratio: float = 1e-4,
+    min_freq_abs: int = 2,
+) -> dict:
     items = {item_asin(i): item_row(i) for i in range(n_items)}
 
     # pairs from en pages (distinct), title-length filter
@@ -139,7 +152,10 @@ def oracle_triples(
 
         mined["open"] = merge_pattern_sets(mined)
 
-    # phase 2: match every relation's sentences (open uses the merged set)
+    # phase 2: match every relation's sentences (open uses the merged set);
+    # collect per-(eid, rel) merged state for the concept pass
+    merged: dict[tuple[str, str], dict] = {}
+    ev_occurrences: dict[tuple[str, str], set[str]] = {}  # (eid, rel) -> tails
     for rel, parses in parsed_by_rel.items():
         if rel not in mined:
             continue
@@ -158,4 +174,59 @@ def oracle_triples(
                 obj = " ".join(ev["words"])
                 for subj in subj_by_rel_tail[(rel, tail)]:
                     triples.add((subj, rel, obj))
-    return triples
+                key = (ev["eid"], rel)
+                m = merged.setdefault(
+                    key,
+                    {
+                        "words": ev["words"],
+                        "pos_tags": ev["pos_tags"],
+                        "dependencies": ev["dependencies"],
+                        "counters": [dict() for _ in ev["words"]],
+                        "frequency": 0.0,
+                    },
+                )
+                m["frequency"] += w
+                if ev["ners"]:
+                    for i, label in enumerate(ev["ners"]):
+                        c = m["counters"][i]
+                        c[label] = c.get(label, 0.0) + w
+                ev_occurrences.setdefault(key, set()).add(tail)
+
+    # phase 3: conceptualization (same kernels; plumbing oracle) — mirrors
+    # pipeline.build_concept_triples keyed (eid, relation)
+    from folkscope_spark.conceptualize import (
+        DEFAULT_TOPK,
+        _dominant_ner,
+        conceptualize_eventuality,
+        template_start_index,
+    )
+    from folkscope_spark.synthetic import probase_rows
+
+    inst: dict[str, list[tuple[str, int]]] = {}
+    for r in probase_rows():
+        inst.setdefault(r["instance"], []).append(
+            (r["concept"].replace(" ", "-"), r["freq"])
+        )
+    topk_map: dict[str, list[tuple[str, float]]] = {}
+    for instance, cs in inst.items():
+        total = sum(f for _, f in cs)
+        if not total:
+            continue
+        liks = sorted(
+            ((c, f / total) for c, f in cs), key=lambda x: (-x[1], x[0])
+        )
+        topk_map[instance] = liks[: DEFAULT_TOPK]
+
+    concept_triples: set[tuple[str, str, str]] = set()
+    for (eid, rel), m in merged.items():
+        ners = _dominant_ner(m["counters"], m["pos_tags"])
+        si = template_start_index(rel, "tokens")
+        for cw, _score in conceptualize_eventuality(
+            m["words"], m["pos_tags"], ners, m["dependencies"],
+            topk_map, DEFAULT_TOPK, start_index=si,
+        ):
+            obj = " ".join(cw)
+            for tail in ev_occurrences[(eid, rel)]:
+                for subj in subj_by_rel_tail[(rel, tail)]:
+                    concept_triples.add((subj, rel, obj))
+    return {"triples": triples, "concept_triples": concept_triples}

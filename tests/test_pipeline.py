@@ -133,3 +133,21 @@ def test_cc_driver_path_equivalent(spark):
     fast = {(r["id"], r["comp"]) for r in connected_components(edges).collect()}
     dist = {(r["id"], r["comp"]) for r in connected_components(edges, driver_threshold=0).collect()}
     assert fast == dist
+
+
+def test_concept_triples_match_oracle(result):
+    """Concept-KG plumbing parity: the distributed conceptualize + (eid,
+    relation)-keyed join must reproduce the single-process port's
+    (subj, pred, concept) set exactly."""
+    from tests.oracle_port import oracle_kg
+
+    got = {
+        (r["subj"], r["pred"], r["obj"])
+        for r in result["concept_triples"].select("subj", "pred", "obj").collect()
+    }
+    want = oracle_kg(N_PAGES, N_ITEMS, max_extra=2)["concept_triples"]
+    assert want, "oracle produced no concept triples"
+    assert got == want, (
+        f"got {len(got)}, want {len(want)}, "
+        f"extra {len(got - want)}, missing {len(want - got)}"
+    )
