@@ -151,3 +151,23 @@ def test_concept_triples_match_oracle(result):
         f"got {len(got)}, want {len(want)}, "
         f"extra {len(got - want)}, missing {len(want - got)}"
     )
+
+
+def test_iceberg_switch_falls_back_offline(spark, tmp_path):
+    """No Iceberg jar in this sandbox: the factory must detect that and hand
+    back the parquet manifest layer; requesting Iceberg directly must fail
+    loudly rather than write a broken table."""
+    import pytest as _pytest
+
+    from folkscope_spark.snapshots import (
+        IcebergSnapshotStore,
+        SnapshotStore,
+        iceberg_available,
+        make_store,
+    )
+
+    assert iceberg_available(spark) is False
+    store = make_store(str(tmp_path / "st"), spark, catalog="ice")
+    assert type(store) is SnapshotStore
+    with _pytest.raises(RuntimeError, match="Iceberg"):
+        IcebergSnapshotStore(str(tmp_path / "st2"), spark, "ice")
