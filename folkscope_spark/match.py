@@ -200,13 +200,15 @@ def match_patterns(
     def run(batches):
         prepared = _cache.get(mined)
         # eid-determined fat columns (pos_tags, dependencies, skeleton/verb
-        # indices, pattern_sig) are emitted once per eid per partition and
-        # null elsewhere: at web scale an eventuality recurs across many
-        # sentences, and duplicating its parse structure per occurrence is
-        # the dominant byte volume of this stage's cache/shuffle.  The merge
-        # reconstitutes them with first(ignorenulls).  Per-row columns
-        # (sid, ners, frequency, words-for-obj_text) stay dense.
-        fat_seen: set[str] = set()
+        # indices, pattern_sig) are emitted once per (relation, eid) per
+        # partition and null elsewhere: at web scale an eventuality recurs
+        # across many sentences, and duplicating its parse structure per
+        # occurrence is the dominant byte volume of this stage's cache/
+        # shuffle.  The merge reconstitutes them with first(ignorenulls),
+        # grouping by (eid, relation) — eids are relation-independent
+        # (sha1 over deps/words/pos), so the thinning set must carry the
+        # relation too or a second relation's group could be all-null.
+        fat_seen: set[tuple[str, str]] = set()
         for pdf in batches:
             rows = []
             weights = pdf["weight"] if has_weight else [1.0] * len(pdf)
@@ -228,9 +230,9 @@ def match_patterns(
                 if subset_dedupe:
                     extracted = skeleton_subset_dedupe(extracted)
                 for ev in extracted:
-                    first_time = ev["eid"] not in fat_seen
+                    first_time = (rel, ev["eid"]) not in fat_seen
                     if first_time:
-                        fat_seen.add(ev["eid"])
+                        fat_seen.add((rel, ev["eid"]))
                     rows.append(
                         {
                             "eid": ev["eid"],

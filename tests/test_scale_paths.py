@@ -164,3 +164,39 @@ def test_export_kg_tensors_skew_path_matches_broadcast(spark):
     a = export_kg_tensors(t)["facts"]
     b = export_kg_tensors(t, broadcast_entities_below=0)["facts"]
     assert a.exceptAll(b).count() + b.exceptAll(a).count() == 0
+
+
+def test_match_fat_thinning_keyed_by_relation_and_eid(spark):
+    """ADVICE r2 (high): eids are relation-independent (sha1 over deps/words/
+    pos only), but merge_eventualities groups by (eid, relation).  When one
+    sentence is extracted under two relations inside a single partition, BOTH
+    (eid, relation) groups must receive a non-null fat row — thinning keyed by
+    eid alone left the second relation's group all-null, and
+    first(ignorenulls) propagated nulls into conceptualize."""
+    from folkscope_spark.match import match_patterns, merge_eventualities
+
+    pat = (("NN", "VBP"), ((1, "nsubj", 0),))
+    mined = {
+        rel: {"patterns": [pat], "hierarchy": [{"parents": [], "children": []}]}
+        for rel in ("capableOf", "usedFor")
+    }
+    rows = [
+        ("s1", "capableOf", ["NNS", "VBP"], ["dog", "run"], ["O", "O"],
+         [{"gov": 1, "rel": "nsubj", "dep": 0}]),
+        ("s2", "usedFor", ["NNS", "VBP"], ["dog", "run"], ["O", "O"],
+         [{"gov": 1, "rel": "nsubj", "dep": 0}]),
+    ]
+    schema = (
+        "sid string, relation string, pos_tags array<string>, "
+        "lemmas array<string>, ners array<string>, "
+        "dependencies array<struct<gov:int,rel:string,dep:int>>"
+    )
+    parsed = spark.createDataFrame(rows, schema).coalesce(1)
+    merged = merge_eventualities(match_patterns(parsed, mined)).collect()
+    assert len(merged) == 2  # one (eid, relation) group per relation
+    assert {r["relation"] for r in merged} == {"capableOf", "usedFor"}
+    assert len({r["eid"] for r in merged}) == 1  # same eid, two relations
+    for r in merged:
+        assert r["pattern_sig"] is not None, r["relation"]
+        assert r["pos_tags"] is not None and r["dependencies"] is not None
+        assert r["skeleton_indices"] is not None
