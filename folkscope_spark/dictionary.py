@@ -38,15 +38,18 @@ def build_dictionary(df: DataFrame, key_col: str, n_partitions: int = DICT_PARTI
     """
     from pyspark import TaskContext
 
-    # the cache is load-bearing: repartitionByRange samples its boundaries,
-    # so the partition layout must be materialized once and reused by both
-    # the size pass and the assignment pass
+    # the lineage truncation is load-bearing: repartitionByRange *samples*
+    # its boundaries over a nondeterministically ordered distinct() shuffle,
+    # so a recomputed partition (cache-block loss on executor failure) could
+    # disagree with the collected offsets.  localCheckpoint pins the layout
+    # by cutting the lineage — a recompute is impossible, not just unlikely
+    # (same pattern as canonicalize.py; ADVICE r2)
     keys = (
         df.select(F.col(key_col).alias("key"))
         .distinct()
         .repartitionByRange(n_partitions, "key")
         .sortWithinPartitions("key")
-        .cache()
+        .localCheckpoint(eager=True)
     )
     sizes = (
         keys.select(F.spark_partition_id().alias("pid"))

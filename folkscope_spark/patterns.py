@@ -350,8 +350,11 @@ def finish_patterns(
         )
         rows = survivors.collect()
         # per-relation early stop: walk scheduled sizes ascending, discard
-        # everything after two consecutive empty sizes (pattern_filter.py:
-        # 192-200's early_stop > 1)
+        # everything after two *cumulative* empty sizes — the reference's
+        # early_stop counter (pattern_filter.py:192-200) increments on every
+        # empty size and never resets, so e.g. empty/non-empty/empty kills
+        # all later sizes (the second empty size itself contributes nothing,
+        # so breaking on it equals the reference's check-before-run gate)
         by_size: dict[str, dict[int, list]] = {}
         for r in rows:
             by_size.setdefault(r["relation"], {}).setdefault(r["size"], []).append(r)
@@ -365,7 +368,6 @@ def finish_patterns(
                     if empties > 1:
                         break
                     continue
-                empties = 0
                 kept_rows.extend(got)
         rows = kept_rows
     else:

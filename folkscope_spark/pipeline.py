@@ -196,8 +196,13 @@ def run_pipeline(
         # the assertion rows (pair subjects + scores) by the matching key:
         # dedupe mode -> tkey = md5(relation || tail); parity mode ->
         # sid = "{a}-{rel}-{b}|{seq}" (generation_parser.py:137)
+        # the matched stream's per-occurrence `frequency` is the parse-stage
+        # weight of that sentence, not the merged eventuality frequency —
+        # surface it as `weight` so the committed stage schema says what the
+        # column means (the merged per-eid frequency lives on `events`)
         ev = matched.select(
-            "eid", "relation", "words", "frequency", F.col("sid").alias("k")
+            "eid", "relation", "words",
+            F.col("frequency").alias("weight"), F.col("sid").alias("k"),
         ).withColumn("obj_text", F.concat_ws(" ", "words"))
         if dedupe_parse:
             key = F.md5(F.concat_ws("\x1f", "relation", "tail"))
@@ -213,7 +218,7 @@ def run_pipeline(
             "plausibility",
         )
         return ev.join(sc, "k").select(
-            "subj", "relation", "obj_text", "plausibility", "eid", "frequency"
+            "subj", "relation", "obj_text", "plausibility", "eid", "weight"
         )
 
     event_triples_src = timed(

@@ -160,7 +160,10 @@ def iceberg_available(spark: SparkSession) -> bool:
     if "IcebergSparkSessionExtensions" not in ext:
         return False
     try:
-        spark._jvm.org.apache.iceberg.catalog.Catalog  # jar probe
+        # py4j returns a JavaPackage (no exception) for a missing class via
+        # attribute access, so probe with Class.forName, which actually throws
+        # when the runtime jar is absent (ADVICE r2)
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.catalog.Catalog")
         return True
     except Exception:
         return False

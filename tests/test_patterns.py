@@ -180,3 +180,26 @@ def test_finish_patterns_with_schedule_bands():
     pats = mined["capableOf"]["patterns"]
     assert len(pats) == 1 and len(pats[0][0]) == 3
     assert mined["capableOf"]["freqs"] == [500]
+
+
+def test_finish_patterns_early_stop_is_cumulative():
+    """The reference's early_stop counter (pattern_filter.py:192-200) never
+    resets: empty / non-empty / empty kills every later size.  A non-empty
+    size after the second cumulative empty must be discarded."""
+    from folkscope_spark.session import get_spark
+    from folkscope_spark.patterns import finish_patterns, pattern_sig
+
+    spark = get_spark(app="t", master="local[4]", shuffle_partitions=4)
+    p5 = pattern_sig((("PRP", "DT", "VBP"), ((2, "nsubj", 0), (2, "det", 1))))
+    p7 = pattern_sig(
+        (("PRP", "DT", "VBP", "NN"), ((2, "nsubj", 0), (2, "det", 1), (2, "obj", 3)))
+    )
+    rows = [
+        ("capableOf", p5, 5, 500),   # size 4 empty, size 5 populated
+        ("capableOf", p7, 7, 500),   # size 6 empty again -> 7 must drop
+    ]
+    pc = spark.createDataFrame(rows, "relation string, sig string, size int, count long")
+    sched = {"capableOf": {s: (100, 1000) for s in (4, 5, 6, 7)}}
+    mined = finish_patterns(pc, {"capableOf": 10_000}, schedules=sched)
+    pats = mined["capableOf"]["patterns"]
+    assert len(pats) == 1 and len(pats[0][0]) == 3  # only the size-5 pattern

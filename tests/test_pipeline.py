@@ -171,3 +171,27 @@ def test_iceberg_switch_falls_back_offline(spark, tmp_path):
     assert type(store) is SnapshotStore
     with _pytest.raises(RuntimeError, match="Iceberg"):
         IcebergSnapshotStore(str(tmp_path / "st2"), spark, "ice")
+
+
+def test_iceberg_probe_rejects_extensions_without_jar():
+    """ADVICE r2 (medium): py4j hands back a JavaPackage (no exception) for a
+    missing class via attribute access, so the probe must use something that
+    actually throws.  A session configured with the Iceberg extensions but no
+    runtime jar must still report unavailable."""
+    from types import SimpleNamespace
+
+    from folkscope_spark.snapshots import iceberg_available
+
+    class _JavaPackage:  # py4j-style: attribute access never raises
+        def __getattr__(self, name):
+            return _JavaPackage()
+
+    fake = SimpleNamespace(
+        conf=SimpleNamespace(
+            get=lambda k, d=None: (
+                "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions"
+            )
+        ),
+        _jvm=_JavaPackage(),
+    )
+    assert iceberg_available(fake) is False
