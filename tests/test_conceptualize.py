@@ -221,3 +221,138 @@ def test_probase_topk_relational(tmp_path):
     assert m["cotton"][1] == ("material", pytest.approx(0.4))
     assert len(m["cotton"]) == 2  # top-K cut drops the zero-freq concept
     assert m["runner"][0][0] == "person"
+
+
+def test_aggregate_concepts_bounds_hot_cid():
+    """VERDICT r2 wrong #2: a Zipf-hot concept must not collect its whole
+    instance set into one row.  One cid x 1e5 instances -> the full fan-in
+    aggregates into cscore/n_instances (partial sums), while the instance
+    list is capped at max_instances and is the exact global top-N."""
+    from pyspark.sql import functions as F
+
+    from folkscope_spark.conceptualize import aggregate_concepts
+    from folkscope_spark.session import get_spark
+
+    spark = get_spark(app="t", master="local[4]", shuffle_partitions=8)
+    n = 100_000
+    hot = (
+        spark.range(n)
+        .select(
+            F.lit("hot-cid").alias("cid"),
+            F.concat(F.lit("e"), F.format_string("%06d", "id")).alias("eid"),
+            (F.col("id").cast("double") / n).alias("score"),
+            F.lit(1.0).alias("frequency"),
+            F.lit("thing").alias("concept_text"),
+            F.lit("p1").alias("pattern"),
+        )
+        .repartition(8)
+    )
+    out = aggregate_concepts(hot, max_instances=50).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_instances"] == n
+    assert r["cscore"] == pytest.approx(sum(i / n for i in range(n)))
+    assert len(r["instances"]) == 50  # bounded row, not 1e5 structs
+    # exact global top-50 by (score desc, eid asc)
+    expected = ["e%06d" % i for i in range(n - 1, n - 51, -1)]
+    assert [x["eid"] for x in r["instances"]] == expected
+    assert r["dominant_pattern"] == "p1"
+
+
+def test_aggregate_concepts_multi_cid_exact():
+    """Small multi-cid brute-force check: top-N, counts, scores, dominant
+    pattern all exact with ties broken deterministically."""
+    import itertools
+
+    from folkscope_spark.conceptualize import aggregate_concepts
+    from folkscope_spark.session import get_spark
+
+    spark = get_spark(app="t", master="local[4]", shuffle_partitions=8)
+    rows = [
+        ("c1", "e%d" % i, 0.1 * (i % 7), 2.0, "t1", "p%d" % (i % 2))
+        for i in range(40)
+    ] + [("c2", "e%d" % i, 0.5, 1.0, "t2", "px") for i in range(3)]
+    df = spark.createDataFrame(
+        rows,
+        "cid string, eid string, score double, frequency double, "
+        "concept_text string, pattern string",
+    )
+    out = {r["cid"]: r for r in aggregate_concepts(df, max_instances=5).collect()}
+    assert out["c1"]["n_instances"] == 40 and out["c2"]["n_instances"] == 3
+    brute = sorted(
+        ((0.1 * (i % 7), "e%d" % i) for i in range(40)),
+        key=lambda t: (-t[0], t[1]),
+    )[:5]
+    assert [(x["score"], x["eid"]) for x in out["c1"]["instances"]] == pytest.approx(brute)
+    assert len(out["c2"]["instances"]) == 3
+    # c1 pattern freqs: p0 and p1 each 20 rows x 2.0 -> tie broken by name
+    assert out["c1"]["dominant_pattern"] == "p0"
+    assert out["c1"]["cscore"] == pytest.approx(sum(0.1 * (i % 7) * 2.0 for i in range(40)))
+
+
+def test_probase_vocab_semijoin_bounds_collected_map():
+    """VERDICT r2 wrong #3: with a huge Probase (1e6 instances) and a tiny
+    corpus, the collected driver map must be bounded by the observed
+    vocabulary (incl. multi-word phrase n-grams), not by Probase size."""
+    from pyspark.sql import functions as F
+
+    from folkscope_spark.conceptualize import (
+        collect_topk_map,
+        conceptualization_vocabulary,
+        max_instance_tokens,
+        probase_topk,
+    )
+    from folkscope_spark.session import get_spark
+
+    spark = get_spark(app="t", master="local[4]", shuffle_partitions=8)
+    big = spark.range(1_000_000).select(
+        F.concat(F.lit("inst"), "id").alias("instance"),
+        F.lit("noise concept").alias("concept"),
+        F.lit(1.0).alias("freq"),
+    )
+    hits = spark.createDataFrame(
+        [
+            ("dog", "animal", 3.0),
+            ("dog", "pet", 1.0),
+            ("ice cream", "dessert", 1.0),
+            ("cream", "food", 1.0),
+        ],
+        "instance string, concept string, freq double",
+    )
+    probase = big.union(hits)
+    corpus = spark.createDataFrame(
+        [(["the", "dog", "eats", "ice", "cream"],), (["dog", "runs"],)],
+        "words array<string>",
+    )
+    gram_len = max_instance_tokens(probase)
+    assert gram_len == 2  # "ice cream" / "noise concept"-free instances
+    vocab = conceptualization_vocabulary(corpus, "words", max_len=gram_len)
+    m = collect_topk_map(probase_topk(probase), vocabulary=vocab)
+    assert set(m) == {"dog", "ice cream", "cream"}  # bounded by vocabulary
+    assert m["dog"] == [("animal", 0.75), ("pet", 0.25)]
+    assert m["ice cream"] == [("dessert", 1.0)]
+
+
+def test_conceptualize_accepts_broadcast_topk(spark=None):
+    """The UDF resolves a sc.broadcast-shipped map identically to a dict."""
+    from folkscope_spark.conceptualize import conceptualize
+    from folkscope_spark.session import get_spark
+
+    spark = get_spark(app="t", master="local[2]", shuffle_partitions=2)
+    rows = [
+        ("e1", "capableOf", ["dog", "run"], ["NN", "VB"], ["O", "O"], None, "p", 1.0)
+    ]
+    schema = (
+        "eid string, relation string, words array<string>, "
+        "pos_tags array<string>, ners array<string>, "
+        "dependencies array<struct<gov:int,rel:string,dep:int>>, "
+        "pattern_sig string, frequency double"
+    )
+    events = spark.createDataFrame(rows, schema)
+    tm = {"dog": [("animal", 1.0)]}
+    plain = {(r["cid"], round(r["score"], 6)) for r in conceptualize(events, tm).collect()}
+    bcast = spark.sparkContext.broadcast(tm)
+    via_bc = {
+        (r["cid"], round(r["score"], 6)) for r in conceptualize(events, bcast).collect()
+    }
+    assert plain == via_bc and len(plain) > 0
