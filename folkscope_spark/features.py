@@ -56,10 +56,16 @@ def embed_sentences(df: DataFrame, text_col: str = "obj") -> DataFrame:
     return df.withColumn("embedding", embed(F.col(text_col)))
 
 
-def item_feature_means(triples_emb: DataFrame) -> DataFrame:
+def item_feature_means(triples_emb: DataFrame, dim: int = EMBED_DIM) -> DataFrame:
     """A6: per-item mean embedding over incident KG edges.  The subj is the
     "{a}-{b}" composite head — both endpoints receive the edge's embedding
-    (preprocess.py:216-237).  Pure relational: explode dims + avg."""
+    (preprocess.py:216-237).
+
+    One shuffle, vectors stay vectors: ``dim`` per-element ``avg`` aggregates
+    in a single groupBy, so the partial-aggregate state per key is
+    ``dim x (sum, count)`` and the shuffle carries one row per (key,
+    partition) — not the ``dim x`` row blowup of a posexplode (VERDICT r2
+    minor #5: the old plan shuffled 384 rows per edge)."""
     items = triples_emb.select(
         F.explode(
             F.array(
@@ -69,16 +75,16 @@ def item_feature_means(triples_emb: DataFrame) -> DataFrame:
         ).alias("item"),
         "embedding",
     )
+    means = [F.avg(F.col("embedding")[i]).alias("_d%d" % i) for i in range(dim)]
     return (
-        items.select("item", F.posexplode("embedding").alias("dim", "v"))
-        .groupBy("item", "dim")
-        .agg(F.avg("v").alias("mv"))
-        .groupBy("item")
-        .agg(
-            F.array_sort(F.collect_list(F.struct("dim", "mv"))).alias("s")
+        items.groupBy("item")
+        .agg(*means)
+        .select(
+            "item",
+            F.array(*[F.col("_d%d" % i).cast("float") for i in range(dim)]).alias(
+                "feature"
+            ),
         )
-        .withColumn("feature", F.expr("transform(s, x -> float(x.mv))"))
-        .select("item", "feature")
     )
 
 

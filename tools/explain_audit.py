@@ -126,7 +126,10 @@ def main():
         build_dictionary(li, "p_brand"),
         [
             ("no window operator anywhere", r"\bWindow\b", False),
-            ("range-partitioned local sort", r"(?i)rangepartitioning", True),
+            # the range-partitioned local sort runs at localCheckpoint
+            # materialization; the visible plan reads the pinned layout, so
+            # a cache-loss recompute can never re-sample boundaries
+            ("reads the checkpoint-pinned layout", r"(?i)existingrdd", True),
         ],
     )
 
@@ -146,6 +149,41 @@ def main():
         [
             ("posexplode generator present", r"Generate", True),
             ("no collect_set of sentence ids", r"collect_set", False),
+        ],
+    )
+
+    # A6 vector mean: per-element avg in ONE groupBy — the shuffle carries
+    # dim x (sum,count) partial state per key, never dim x rows per edge
+    from folkscope_spark.features import item_feature_means
+
+    emb = spark.createDataFrame(
+        [("a-b", [0.1] * 8), ("b-c", [0.2] * 8)],
+        "subj string, embedding array<float>",
+    )
+    audit(
+        "item_feature_means (vector-aggregate, no per-dimension row blowup)",
+        item_feature_means(emb, dim=8),
+        [
+            ("no posexplode of embedding dims", r"posexplode", False),
+            ("partial+final hash aggregate", r"HashAggregate", True),
+        ],
+    )
+
+    # A4 bounded concept aggregation: salted two-level top-N, full fan-in
+    # only through partial sums
+    from folkscope_spark.conceptualize import aggregate_concepts
+
+    cr = spark.createDataFrame(
+        [("c1", "e1", 0.5, 1.0, "t", "p")],
+        "cid string, eid string, score double, frequency double, "
+        "concept_text string, pattern string",
+    )
+    audit(
+        "aggregate_concepts (bounded top-N instances, salted local rank)",
+        aggregate_concepts(cr),
+        [
+            ("salted local rank phase", r"_salt", True),
+            ("partial aggregation for cscore", r"HashAggregate", True),
         ],
     )
 
