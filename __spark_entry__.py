@@ -822,6 +822,65 @@ def q_fs_conceptualize(spark, sf):  # Probase conceptualization kernel (J3/T4/F1
     )
 
 
+def q_fs_concept_text(spark, sf):  # whole-sentence conceptualized_text pass
+    """The reference emits ``conceptualized_text`` for every parsed line, not
+    just its eventualities (conceptualizer.py:682-685): phrase segments carry
+    their own POS/NER (first word of the segment).  Deterministic; rows-only
+    (same graph/heap kernel family as fs_conceptualize)."""
+    import pandas as pd
+
+    from folkscope_spark.conceptualize import conceptualize_text
+    from folkscope_spark.nlp import parse_sentence
+
+    topk_map = {
+        "table": [("structure", 0.6), ("object", 0.4)],
+        "query": [("request", 0.7), ("question", 0.3)],
+        "row": [("record", 1.0)],
+        "data": [("information", 0.8), ("asset", 0.2)],
+        "key": [("identifier", 1.0)],
+        "join": [("operation", 1.0)],
+        "filter": [("operation", 0.9), ("device", 0.1)],
+    }
+    d = _t(spark, sf, "documents").limit(300)
+
+    parsed_schema = (
+        "sid string, relation string, tokens array<string>, "
+        "pos_tags array<string>, ners array<string>, "
+        "dependencies array<struct<gov:int,rel:string,dep:int>>"
+    )
+
+    def mk_parsed(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                p = parse_sentence(text[:160])
+                if not p["dependencies"]:
+                    continue
+                rows.append(
+                    {
+                        "sid": str(doc_id),
+                        "relation": "capableOf",
+                        "tokens": [w.lower() for w in p["lemmas"]],
+                        "pos_tags": p["pos_tags"],
+                        "ners": p["ners"],
+                        "dependencies": [
+                            {"gov": g, "rel": r, "dep": dp}
+                            for g, r, dp in p["dependencies"]
+                        ],
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "sid", "relation", "tokens", "pos_tags", "ners", "dependencies",
+                ],
+            )
+
+    parsed = d.select("doc_id", "text").mapInPandas(mk_parsed, schema=parsed_schema)
+    c = conceptualize_text(parsed, topk_map, start_index_mode="none")
+    return c.select("sid", "cid", "concept_text", F.round("score", 6).alias("score"))
+
+
 def q_fs_canonicalize(spark, sf):  # MinHash-LSH + CC over document texts
     from folkscope_spark.canonicalize import canonicalize_surface_forms
 
@@ -886,6 +945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fs_parse_light": q_fs_parse_light,
         "fs_triples": q_fs_triples,
         "fs_conceptualize": q_fs_conceptualize,
+        "fs_concept_text": q_fs_concept_text,
         "fs_canonicalize": q_fs_canonicalize,
         "fs_sentence_embed": q_fs_sentence_embed,
         "fs_kg_tensors": q_fs_kg_tensors,

@@ -139,7 +139,10 @@ def resume_filter(prompts: DataFrame, done_keys: DataFrame | None) -> DataFrame:
 
 
 def generate_assertions(
-    prompts: DataFrame, num_sequences: int = 3, micro_batches: int | None = None
+    prompts: DataFrame,
+    num_sequences: int = 3,
+    micro_batches: int | None = None,
+    dense_tails: bool = False,
 ) -> DataFrame:
     """Surrogate-LLM expansion: 3 deterministic continuations per prompt
     (generation.py:92-113 samples 3 top-p sequences; here hash-seeded
@@ -147,7 +150,8 @@ def generate_assertions(
 
     ``micro_batches`` repartitions before the UDF — the Arrow-batch shaping
     knob that replaces the reference's GPU batch-size control
-    (generation.py:233-243).
+    (generation.py:233-243).  ``dense_tails`` selects the length-diverse
+    surrogate corpus (see :func:`folkscope_spark.synthetic.gen_tail`).
     """
     if micro_batches:
         prompts = prompts.repartition(micro_batches)
@@ -155,7 +159,7 @@ def generate_assertions(
     def gen(batches):
         for pdf in batches:
             outs = [
-                [gen_tail(pk, rel, s) for s in range(num_sequences)]
+                [gen_tail(pk, rel, s, dense=dense_tails) for s in range(num_sequences)]
                 for pk, rel in zip(pdf["pair_key"], pdf["relation"])
             ]
             pdf = pdf.copy()

@@ -51,6 +51,7 @@ def run_pipeline(
     with_concept_text: bool = False,
     skip_words=None,
     adaptive_mining: bool = False,
+    dense_tails: bool = False,
 ) -> dict:
     """Returns {"triples": DataFrame, "stages": {stage: seconds}, ...}.
 
@@ -59,7 +60,7 @@ def run_pipeline(
     store = SnapshotStore(out_dir) if out_dir else None
     timings: dict[str, float] = {}
     fp = (f"v1:n_pages={n_pages}:n_items={n_items}:minp={min_plausibility}"
-          f":extra={max_extra}:dedupe={dedupe_parse}"
+          f":extra={max_extra}:dedupe={dedupe_parse}:dense={dense_tails}"
           f":skip={','.join(sorted(skip_words)) if skip_words else ''}")
 
     def timed(name, fn):
@@ -109,7 +110,9 @@ def run_pipeline(
         done = None
         m = store.manifest("assertions")
         gens = generate.generate_assertions(
-            generate.resume_filter(prompts, done), micro_batches=micro_batches
+            generate.resume_filter(prompts, done),
+            micro_batches=micro_batches,
+            dense_tails=dense_tails,
         )
         return generate.explode_assertions(gens, templates)
 

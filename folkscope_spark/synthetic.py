@@ -243,13 +243,30 @@ def probase_df(spark):
 # ---------------------------------------------------------------- surrogate LM
 
 
-def gen_tail(pair_key: str, relation: str, seq: int) -> str:
+def gen_tail(pair_key: str, relation: str, seq: int, dense: bool = False) -> str:
     """Deterministic LLM surrogate: hash-seeded template filling.  Same
-    (pair, relation, seq) -> same tail on every host."""
+    (pair, relation, seq) -> same tail on every host.
+
+    ``dense=True`` yields a length-diverse corpus: continuations are
+    deterministically truncated to 0-2 words (matched sentences of exactly
+    anchor length and just above — where the reference's CDF walk starts) or
+    extended with 0-4 prepositional chunks ("with the <noun>").  The base
+    templates yield only 2-3 lengths per relation, which degenerates the
+    reference's CDF-driven adaptive mining schedule (its own exit case); the
+    dense variant gives the schedule real window mass to walk."""
     tpl = _pick(TAIL_TEMPLATES[relation], "tt", pair_key, relation, seq)
     n = _pick(INSTANCE_NOUNS, "tn", pair_key, relation, seq, 0)
     n2 = _pick(INSTANCE_NOUNS, "tn2", pair_key, relation, seq, 1)
     if n2 == n:
         n2 = INSTANCE_NOUNS[(INSTANCE_NOUNS.index(n) + 1) % len(INSTANCE_NOUNS)]
     a = _pick(TITLE_ADJ, "ta", pair_key, relation, seq)
-    return tpl.replace("{n2}", n2).replace("{n}", n).replace("{a}", a)
+    tail = tpl.replace("{n2}", n2).replace("{n}", n).replace("{a}", a)
+    if dense:
+        r = _h(SEED, "densek", pair_key, relation, seq) % 8
+        if r < 3:
+            tail = " ".join(tail.split()[:r])  # 0-2 word continuation
+        else:
+            for j in range(r - 3):  # 0-4 extension chunks
+                n3 = _pick(INSTANCE_NOUNS, "densen", pair_key, relation, seq, j)
+                tail += " with the %s" % n3
+    return tail
