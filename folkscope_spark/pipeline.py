@@ -104,21 +104,57 @@ def run_pipeline(
     templates = generate.template_table(spark)
 
     # -- generation path -----------------------------------------------------
+    # J2 key-cache: when a prior committed assertions snapshot exists with the
+    # same generation parameters (manifest detail), its pair_keys are done
+    # keys — reuse those rows and generate only the anti-joined remainder
+    # (generation.py:222-230 key-cache semantics).  Generation output is a
+    # pure function of (pair_key, relation, seq, dense), and prompt text of
+    # (pair, n_items), so reuse is gated on the gen_detail match.
+    gen_detail = f"gen:v1:items={n_items}:dense={dense_tails}"
+    counters: dict[str, int] = {}
+
     def build_assertions():
+        import os
+
         pairs = generate.pairs_from_pages(pages)
         prompts = generate.build_prompts(pairs, items, templates)
-        done = None
         m = store.manifest("assertions")
-        gens = generate.generate_assertions(
-            generate.resume_filter(prompts, done),
-            micro_batches=micro_batches,
-            dense_tails=dense_tails,
+        prev = None
+        if (
+            m is not None
+            and m.get("detail") == gen_detail
+            and os.path.exists(os.path.join(m["path"], "_SUCCESS"))
+        ):
+            prev = spark.read.parquet(m["path"])
+        if prev is None:
+            gens = generate.generate_assertions(
+                prompts, micro_batches=micro_batches, dense_tails=dense_tails
+            )
+            return generate.explode_assertions(gens, templates)
+        # keep only reusable rows still requested by this run, anti-join the
+        # rest; the counters prove zero prompts were regenerated
+        reused = prev.join(
+            prompts.select("pair_key").distinct(), "pair_key", "left_semi"
         )
-        return generate.explode_assertions(gens, templates)
+        done = reused.select("pair_key").distinct()
+        todo = generate.resume_filter(prompts, done)
+        counters["assertions_reused_keys"] = done.count()
+        counters["assertions_generated_keys"] = (
+            todo.select("pair_key").distinct().count()
+        )
+        fresh = generate.explode_assertions(
+            generate.generate_assertions(
+                todo, micro_batches=micro_batches, dense_tails=dense_tails
+            ),
+            templates,
+        )
+        return reused.select(*fresh.columns).unionByName(fresh)
 
     assertions = timed(
         "generate",
-        lambda: store.stage(spark, "assertions", fp, build_assertions),
+        lambda: store.stage(
+            spark, "assertions", fp, build_assertions, detail=gen_detail
+        ),
     )
 
     # -- scoring -------------------------------------------------------------
@@ -344,6 +380,7 @@ def run_pipeline(
         "concept_triples": concept_triples,
         "concept_text": concept_text,
         "stages": timings,
+        "counters": counters,
         "store": store,
     }
 
