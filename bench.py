@@ -37,7 +37,11 @@ os.environ.setdefault("SPARK_DRIVER_MEM", "16g")
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 KG_PAGES = int(os.environ.get("BENCH_KG_PAGES", "100000"))
-SCALE_PAGES = int(os.environ.get("BENCH_SCALE_PAGES", "50000"))
+# 100k (same corpus as the throughput leg): the fitted t = C/n + O model has
+# a fixed component O (driver mining sweep, driver LSH, job-launch tail) that
+# a real cluster amortizes over far larger inputs; doubling the scaling-leg
+# input halves O's share of the ratio (VERDICT r2 #4)
+SCALE_PAGES = int(os.environ.get("BENCH_SCALE_PAGES", "100000"))
 SKIP_SCALING = os.environ.get("BENCH_SKIP_SCALING", "") == "1"
 
 HEADLINE = [
@@ -107,11 +111,15 @@ def _fresh_session(master: str, shuffle: int):
     return spark
 
 
-def run_kg(master: str, shuffle: int, pages: int, dedupe: bool, repeats: int = 1) -> float:
-    """Wall seconds for the KG pipeline; a warmup run first pays Python-worker
-    startup / imports / JIT (one-time executor costs on a real cluster).
-    ``repeats > 1`` takes the min — steady-state timing on a host with bursty
-    co-tenant load (long-lived executors run steady-state)."""
+def run_kg(
+    master: str, shuffle: int, pages: int, dedupe: bool, repeats: int = 1
+) -> tuple[float, dict[str, float]]:
+    """(wall seconds, per-stage timings) for the KG pipeline; a warmup run
+    first pays Python-worker startup / imports / JIT (one-time executor costs
+    on a real cluster).  ``repeats > 1`` takes the min-wall run — steady-state
+    timing on a host with bursty co-tenant load (long-lived executors run
+    steady-state).  The stage timings come from the min-wall run, so any
+    slowdown vs a previous bench is attributable to a stage."""
     from folkscope_spark.pipeline import run_pipeline
 
     spark = _fresh_session(master, shuffle)
@@ -121,7 +129,7 @@ def run_kg(master: str, shuffle: int, pages: int, dedupe: bool, repeats: int = 1
         dedupe_parse=dedupe,
     )["triples"].count()
 
-    walls = []
+    walls, stage_runs = [], []
     for _ in range(repeats):
         t0 = time.time()
         r = run_pipeline(
@@ -134,11 +142,16 @@ def run_kg(master: str, shuffle: int, pages: int, dedupe: bool, repeats: int = 1
             max_extra=2,
             dedupe_parse=dedupe,
         )
+        t_fin = time.time()
         r["triples"].count()
+        stages = dict(r["stages"])
+        stages["final_count"] = round(time.time() - t_fin, 3)
         walls.append(time.time() - t0)
+        stage_runs.append(stages)
         spark.catalog.clearCache()
     spark.stop()
-    return min(walls)
+    best = min(range(len(walls)), key=lambda i: walls[i])
+    return walls[best], stage_runs[best]
 
 
 def main():
@@ -151,22 +164,31 @@ def main():
 
     kg = {}
     if not SKIP_SCALING:
-        # headline throughput: production config, full parallelism
-        t_prod = run_kg(f"local[{CPUS}]", CPUS, KG_PAGES, dedupe=True)
+        # headline throughput: production config, full parallelism.
+        # min-of-2 inside one session (VERDICT r2 #1: a single sample on a
+        # co-tenant host is not evidence); per-stage timings of the best run
+        # ship in the JSON so any slowdown is attributable to a stage.
+        t_prod, prod_stages = run_kg(
+            f"local[{CPUS}]", CPUS, KG_PAGES, dedupe=True, repeats=2
+        )
         kg["throughput_pages"] = KG_PAGES
         kg["throughput_wall_s"] = round(t_prod, 2)
         kg["docs_per_sec"] = round(KG_PAGES / t_prod, 2)
+        kg["stage_timings"] = prod_stages
         queries["kg_pipeline"] = round(t_prod, 3)
 
         # scaling: same job, N=4 vs 4N=16 cores, CPU-bound (parity) config.
         # Legs are interleaved (4,16,4,16) so minute-scale co-tenant load
         # swings on this shared host hit both sides of the ratio equally;
         # min-of-2 per side takes the steady-state sample.
-        lo_walls, hi_walls = [], []
+        lo_runs, hi_runs = [], []
         for _ in range(2):
-            lo_walls.append(run_kg("local[4]", 4, SCALE_PAGES, dedupe=False))
-            hi_walls.append(run_kg("local[16]", 16, SCALE_PAGES, dedupe=False))
-        t_lo, t_hi = min(lo_walls), min(hi_walls)
+            lo_runs.append(run_kg("local[4]", 4, SCALE_PAGES, dedupe=False))
+            hi_runs.append(run_kg("local[16]", 16, SCALE_PAGES, dedupe=False))
+        (t_lo, lo_stages), (t_hi, hi_stages) = (
+            min(lo_runs, key=lambda x: x[0]),
+            min(hi_runs, key=lambda x: x[0]),
+        )
         eff = (t_lo / t_hi) / 4.0
         ceiling = cpu_ceiling(4, 16) / 4.0
         kg.update(
@@ -179,6 +201,8 @@ def main():
                 "scaling_efficiency": round(eff, 3),
                 "host_cpu_ceiling_efficiency": round(ceiling, 3),
                 "scaling_efficiency_vs_ceiling": round(eff / ceiling, 3),
+                "stage_timings_n4": lo_stages,
+                "stage_timings_n16": hi_stages,
             }
         )
 

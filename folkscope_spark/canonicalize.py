@@ -298,16 +298,38 @@ def _lsh_cc_driver(
     with np.errstate(over="ignore"):
         mixed = A[:, None] * base[None, :] + B[:, None]  # (n_hashes, V), mod 2^64
 
-    buckets: dict[tuple[int, tuple], list[int]] = {}
-    for i, s in enumerate(tok_sets):
-        if s:
-            idx = np.fromiter((vocab[t] for t in s), dtype=np.int64, count=len(s))
-            sig = mixed[:, idx].min(axis=1)
-        else:
-            sig = np.zeros(n_hashes, dtype=np.uint64)
+    # fully vectorized signatures: CSR layout of token indices + one
+    # minimum.reduceat per hash row (the per-form numpy-call loop was the
+    # residual fixed driver cost at dimension scale)
+    n = len(texts)
+    nonempty = [i for i, s in enumerate(tok_sets) if s]
+    sigs = np.zeros((n_hashes, n), dtype=np.uint64)
+    if nonempty:
+        counts = np.fromiter(
+            (len(tok_sets[i]) for i in nonempty), dtype=np.int64, count=len(nonempty)
+        )
+        starts = np.zeros(len(nonempty), dtype=np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        flat = np.fromiter(
+            (vocab[t] for i in nonempty for t in tok_sets[i]),
+            dtype=np.int64,
+            count=int(counts.sum()),
+        )
+        sigs[:, np.asarray(nonempty, dtype=np.int64)] = np.minimum.reduceat(
+            mixed[:, flat], starts, axis=1
+        )
+
+    # vectorized banding: group forms by exact band signature via np.unique
+    # over a structured view (exact keys — no mixing collisions; candidate
+    # groups are what the tuple-keyed dict produced, without the Python loop)
+    def band_groups():
         for b in range(n_bands):
-            key = (b, tuple(sig[b * rows : (b + 1) * rows].tolist()))
-            buckets.setdefault(key, []).append(i)
+            band = np.ascontiguousarray(sigs[b * rows : (b + 1) * rows, :].T)
+            view = band.view([("", band.dtype)] * rows).reshape(n)
+            _, inv = np.unique(view, return_inverse=True)
+            order = np.argsort(inv, kind="stable")
+            bounds = np.flatnonzero(np.diff(inv[order])) + 1
+            yield from np.split(order, bounds)
 
     parent = list(range(len(texts)))
 
@@ -318,9 +340,10 @@ def _lsh_cc_driver(
         return x
 
     seen_pairs: set[tuple[int, int]] = set()
-    for members in buckets.values():
-        if len(members) > max_bucket:  # hot-bucket cap, as distributed
+    for members in band_groups():
+        if len(members) < 2 or len(members) > max_bucket:  # hot-bucket cap
             continue
+        members = members.tolist()
         for ai in range(len(members)):
             for bi in range(ai + 1, len(members)):
                 a, b = members[ai], members[bi]
