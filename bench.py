@@ -168,8 +168,11 @@ def main():
         # min-of-2 inside one session (VERDICT r2 #1: a single sample on a
         # co-tenant host is not evidence); per-stage timings of the best run
         # ship in the JSON so any slowdown is attributable to a stage.
+        # 3x shuffle partitions per core: one task per core exposes the
+        # per-sentence cost variance of the Python kernels (VF2 match) as
+        # stragglers — measured at n16/50k: match 69s -> 40s, wall -26%
         t_prod, prod_stages = run_kg(
-            f"local[{CPUS}]", CPUS, KG_PAGES, dedupe=True, repeats=2
+            f"local[{CPUS}]", 3 * CPUS, KG_PAGES, dedupe=True, repeats=2
         )
         kg["throughput_pages"] = KG_PAGES
         kg["throughput_wall_s"] = round(t_prod, 2)
@@ -183,8 +186,8 @@ def main():
         # min-of-2 per side takes the steady-state sample.
         lo_runs, hi_runs = [], []
         for _ in range(2):
-            lo_runs.append(run_kg("local[4]", 4, SCALE_PAGES, dedupe=False))
-            hi_runs.append(run_kg("local[16]", 16, SCALE_PAGES, dedupe=False))
+            lo_runs.append(run_kg("local[4]", 12, SCALE_PAGES, dedupe=False))
+            hi_runs.append(run_kg("local[16]", 48, SCALE_PAGES, dedupe=False))
         (t_lo, lo_stages), (t_hi, hi_stages) = (
             min(lo_runs, key=lambda x: x[0]),
             min(hi_runs, key=lambda x: x[0]),
