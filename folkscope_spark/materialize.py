@@ -72,9 +72,25 @@ def build_triples(
     )
 
 
-def write_triples(triples: DataFrame, path: str, n_buckets: int = N_BUCKETS) -> None:
+def bucket_count(approx_rows: int, rows_per_bucket: int = 2_000_000, cap: int = 4096) -> int:
+    """Subject-hash bucket count scaled so each (pred, bucket) directory holds
+    a roughly fixed row volume: a 10^12-document corpus widens to thousands of
+    prunable buckets, while a small corpus avoids paying hundreds of
+    small-file directory creations (a fixed cost that dominated the write
+    stage at bench scale)."""
+    return max(1, min(cap, approx_rows // rows_per_bucket))
+
+
+def write_triples(
+    triples: DataFrame, path: str, n_buckets: int | None = None,
+    approx_rows: int | None = None,
+) -> None:
     """Partition layout per north_rule: pred dirs x subj-hash buckets.
-    Writes are idempotent per partition (INSERT OVERWRITE semantics)."""
+    Writes are idempotent per partition (INSERT OVERWRITE semantics).
+    ``n_buckets`` defaults to :func:`bucket_count` of ``approx_rows`` (pass a
+    cheap upstream estimate, e.g. corpus pages), else ``N_BUCKETS``."""
+    if n_buckets is None:
+        n_buckets = bucket_count(approx_rows) if approx_rows else N_BUCKETS
     (
         triples.withColumn(
             "subj_bucket", F.pmod(F.xxhash64("subj"), F.lit(n_buckets)).cast("int")

@@ -390,9 +390,13 @@ def run_pipeline(
             )
 
     # -- final write ---------------------------------------------------------
+    # bucket width scales with corpus size (triples ~ assertions ~ pages x
+    # relations): fixed rows per (pred, bucket) dir at any scale
     timed(
         "write",
-        lambda: materialize.write_triples(triples, store.data_path("kg_triples")),
+        lambda: materialize.write_triples(
+            triples, store.data_path("kg_triples"), approx_rows=n_pages * 21 * 3
+        ),
     )
 
     return {
