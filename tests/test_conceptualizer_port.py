@@ -1,0 +1,207 @@
+"""Differential suite: production conceptualization kernels vs the
+independent literal transcription in ``tests/conceptualizer_port.py``.
+
+Same parity pattern as ``tests/test_reference_port.py`` (matcher/miner):
+deterministic corpus-derived and handcrafted inputs run through BOTH
+implementations; outputs must match element for element — surface words,
+order, and scores."""
+
+from __future__ import annotations
+
+import pytest
+
+from folkscope_spark.conceptualize import (
+    collect_topk_map,
+    conceptualize_eventuality,
+    conceptualize_from_text,
+    probase_topk,
+)
+from folkscope_spark.nlp import parse_sentence
+from folkscope_spark.relations import POS_TEMPLATES, RELATIONS
+from folkscope_spark.synthetic import gen_tail, probase_rows
+
+from tests.conceptualizer_port import ProbaseConceptualizerPort
+
+TOPK = 3
+
+
+def _triples():
+    # sorted by (instance, concept): the port's stable score-desc sort then
+    # breaks ties by ascending concept name, matching the relational
+    # (likelihood desc, concept asc) ordering
+    rows = sorted(probase_rows(), key=lambda r: (r["instance"], r["concept"]))
+    return [(r["concept"], r["instance"], r["freq"]) for r in rows]
+
+
+@pytest.fixture(scope="module")
+def port():
+    return ProbaseConceptualizerPort(_triples(), topK=TOPK)
+
+
+@pytest.fixture(scope="module")
+def topk_map():
+    from folkscope_spark.session import get_spark
+
+    spark = get_spark(app="cport", master="local[4]", shuffle_partitions=4)
+    df = spark.createDataFrame(
+        [(c, i, float(f)) for c, i, f in _triples()],
+        "concept string, instance string, freq double",
+    )
+    return collect_topk_map(probase_topk(df, k=TOPK))
+
+
+def _norm(pairs):
+    return [(" ".join(w), round(float(s), 12)) for w, s in pairs]
+
+
+def _corpus_rows(n_per_rel=8):
+    rows = []
+    for rel in RELATIONS:
+        for i in range(n_per_rel):
+            tail = gen_tail("B%09d-B%09d-%s" % (i, i + 1, rel), rel, i % 3)
+            p = parse_sentence(tail)
+            if not p["pos_tags"]:
+                continue
+            rows.append(
+                (
+                    rel,
+                    [w.lower() for w in p["lemmas"]],
+                    p["ners"],
+                    p["pos_tags"],
+                    [tuple(d) for d in p["dependencies"]],
+                )
+            )
+    return rows
+
+
+HANDCRAFTED = [
+    # NER placeholders + pronouns + repeated nouns (multi-index substitution)
+    (["john", "buy", "cotton", "and", "cotton", "for", "travel"],
+     ["PERSON", "O", "O", "O", "O", "O", "O"],
+     ["NNP", "VBD", "NN", "CC", "NN", "IN", "NN"],
+     [(1, "nsubj", 0), (1, "obj", 2), (2, "cc", 3), (2, "conj", 4), (6, "case", 5), (1, "obl", 6)]),
+    # compound chain -> phrase pass engages in the text path
+    (["the", "cotton", "jacket", "keep", "warmth"],
+     ["O", "O", "O", "O", "O"],
+     ["DT", "NN", "NN", "VBP", "NN"],
+     [(2, "det", 0), (2, "compound", 1), (3, "nsubj", 2), (3, "obj", 4)]),
+    # two disjoint compounds + a pronoun
+    (["she", "love", "steel", "drill", "and", "wool", "scarf"],
+     ["O", "O", "O", "O", "O", "O", "O"],
+     ["PRP", "VBP", "NN", "NN", "CC", "NN", "NN"],
+     [(1, "nsubj", 0), (3, "compound", 2), (1, "obj", 3), (3, "cc", 4),
+      (6, "compound", 5), (3, "conj", 6)]),
+    # no Probase hit anywhere -> seed-rule fallback path
+    (["he", "runs", "quickly"],
+     ["O", "O", "O"],
+     ["PRP", "VBZ", "RB"],
+     [(1, "nsubj", 0), (1, "advmod", 2)]),
+    # seed placeholder collides with noun gate (starts with "_" -> skipped)
+    (["in", "2021", "the", "runner", "buy", "leather"],
+     ["O", "DATE", "O", "O", "O", "O"],
+     ["IN", "CD", "DT", "NN", "VBD", "NN"],
+     [(3, "case", 0), (3, "nummod", 1), (3, "det", 2), (4, "nsubj", 3), (4, "obj", 5)]),
+]
+
+
+def test_text_path_matches_port_on_corpus(port, topk_map):
+    rows = _corpus_rows()
+    assert len(rows) > 100
+    checked = 0
+    for rel, words, ners, pos, deps in rows:
+        for si in (0, len(POS_TEMPLATES.get(rel, ("", ""))[1].split())):
+            ours = _norm(
+                conceptualize_from_text(words, ners, pos, deps, topk_map, TOPK, start_index=si)
+            )
+            ref = _norm(
+                port.conceptualize_from_text(list(words), list(ners), list(pos), list(deps), start_index=si)
+            )
+            assert ours == ref, (rel, si, words)
+            checked += 1
+    assert checked > 200
+
+
+def test_text_path_matches_port_handcrafted(port, topk_map):
+    for words, ners, pos, deps in HANDCRAFTED:
+        for si in (0, 1, 2):
+            ours = _norm(
+                conceptualize_from_text(words, ners, pos, deps, topk_map, TOPK, start_index=si)
+            )
+            ref = _norm(
+                port.conceptualize_from_text(list(words), list(ners), list(pos), list(deps), start_index=si)
+            )
+            assert ours == ref, (words, si)
+
+
+def test_eventuality_path_matches_port_no_compounds(port, topk_map):
+    """Eventuality-path differential on inputs with no compound segments
+    (where the reference's Eventuality.phrases span-misread — a documented
+    reference bug the production code does not copy — is never consulted)."""
+    checked = 0
+    for rel, words, ners, pos, deps in _corpus_rows():
+        segs = port._dep_compound_segment(words, deps)
+        if len(segs) != len(words):
+            continue
+        for si in (0, len(POS_TEMPLATES.get(rel, ("", ""))[1].split())):
+            ours = _norm(
+                conceptualize_eventuality(words, pos, ners, deps, topk_map, TOPK, start_index=si)
+            )
+            ref = _norm(
+                port.conceptualize_eventuality(list(words), list(ners), list(pos), list(deps), start_index=si)
+            )
+            assert ours == ref, (rel, si, words)
+            checked += 1
+    assert checked > 50
+
+
+def test_relational_topk_matches_port_probase(topk_map):
+    """probase_topk (window + hyphenate + dedupe + rank) vs the port's
+    per-instance inline top-K derivation."""
+    from tests.conceptualizer_port import (
+        ProbaseConceptPort,
+        SeedRuleConceptualizerPort,
+    )
+
+    pb = ProbaseConceptPort(_triples())
+    seed = SeedRuleConceptualizerPort()
+    instances = sorted({t[1] for t in _triples()})
+    for inst in instances:
+        concepts = pb.conceptualize(inst, score_method="likelihood")
+        concept_set, ref_topk = set(), []
+        for c, s in concepts:
+            h = c.replace(" ", "-")
+            if h not in concept_set:
+                concept_set.add(h)
+                ref_topk.append((h, round(s, 12)))
+            if len(ref_topk) >= TOPK:
+                break
+        ours = [(c, round(s, 12)) for c, s in topk_map.get(inst, [])]
+        assert ours == ref_topk, inst
+
+
+def test_text_path_segment_edge_cases(port, topk_map):
+    """Segment-walk edge cases, differential on both implementations:
+
+    * a NON-contiguous compound tuple (10, 4) is split back into singletons
+      by the continuity check (conceptualizer.py:600-618) — no phrase pass;
+    * a contiguous backward compound (gov 6, dep 5) keeps tuple (6, 5),
+      word 5 is skipped by the walk and re-emitted inside the segment at
+      word 6, and a start_index pointing into that segment is remapped to
+      the segment's position (the reference's in-loop reassignment at
+      conceptualizer.py:426-427 — which, segments being disjoint with
+      positions always trailing word indices, can fire at most once)."""
+    n = 12
+    words = ["w%d" % i for i in range(n)]
+    words[3] = "cotton"  # a Probase hit so outputs are non-trivial
+    ners = ["O"] * n
+    pos = ["NN"] * n
+    noncontig = [(10, "compound", 4)] + [(i, "dep", i + 1) for i in range(0, 3)]
+    backward = [(6, "compound", 5), (6, "compound", 7)]  # (6, 5, 7) span
+    for deps, si in ((noncontig, 5), (backward, 6), (backward, 0), (backward, 3)):
+        ours = _norm(
+            conceptualize_from_text(words, ners, pos, deps, topk_map, TOPK, start_index=si)
+        )
+        ref = _norm(
+            port.conceptualize_from_text(list(words), list(ners), list(pos), list(deps), start_index=si)
+        )
+        assert ours == ref, (deps, si)
