@@ -56,7 +56,7 @@ def embed_sentences(df: DataFrame, text_col: str = "obj") -> DataFrame:
     return df.withColumn("embedding", embed(F.col(text_col)))
 
 
-def item_feature_means(triples_emb: DataFrame, dim: int = EMBED_DIM) -> DataFrame:
+def item_feature_means(triples_emb: DataFrame) -> DataFrame:
     """A6: per-item mean embedding over incident KG edges.  The subj is the
     "{a}-{b}" composite head — both endpoints receive the edge's embedding
     (preprocess.py:216-237).

@@ -58,6 +58,7 @@ def run_pipeline(
     adaptive_mining: bool = False,
     dense_tails: bool = False,
     probase: DataFrame | None = None,
+    probase_rows: int | None = None,
 ) -> dict:
     """Returns {"triples": DataFrame, "stages": {stage: seconds}, ...}.
 
@@ -328,7 +329,17 @@ def run_pipeline(
         # and the vocabulary jobs would cost more than they save.  Either way
         # the map ships ONE driver copy per executor via sc.broadcast.
         vocab = None
-        if probase.count() > PROBASE_VOCAB_CUTOFF:
+        # bounded probe, not a full count: the dimension only needs to be
+        # classified against the cutoff, so scan at most cutoff+1 rows
+        # (ADVICE r3: a committed multi-GB Probase should never be fully
+        # counted just to pick the collect strategy).  Callers that already
+        # know the size (e.g. from a snapshot manifest) pass probase_rows.
+        n_probase = (
+            probase_rows
+            if probase_rows is not None
+            else probase.limit(PROBASE_VOCAB_CUTOFF + 1).count()
+        )
+        if n_probase > PROBASE_VOCAB_CUTOFF:
             gram_len = max_instance_tokens(probase)
             vocab = conceptualization_vocabulary(matched, "words", max_len=gram_len)
             if with_concept_text:

@@ -3,9 +3,15 @@
 No Iceberg/Delta jars are installed offline (SURVEY.md §7), so snapshot
 commit / resume / lineage are provided by a thin manifest layer:
 
-* each stage commits to ``<root>/data/<stage>/`` via Spark parquet write,
-  then atomically renames a JSON manifest into ``<root>/_snapshots/<stage>.json``
-  carrying the input fingerprint, row count and per-partition counters;
+* each stage commits to a fresh **versioned** directory
+  ``<root>/data/<stage>/<snapshot_id>/`` via Spark parquet write, then
+  atomically renames a JSON manifest into ``<root>/_snapshots/<stage>.json``
+  carrying the input fingerprint, row count and per-partition counters; prior
+  versions are garbage-collected only after the new manifest is published.
+  A re-commit therefore never overwrites a path a resume plan is still
+  scanning (Spark's "cannot overwrite a path that is also being read from"
+  hazard — ADVICE r3), and a crash mid-write leaves the previous snapshot's
+  manifest pointing at fully intact data;
 * resume = manifest exists + fingerprint matches + parquet ``_SUCCESS``
   present -> the stage is skipped and its committed output is read back
   (the reference's skip-if-file-exists caching, ``generation.py:151-158,
@@ -77,7 +83,10 @@ class SnapshotStore:
         from parquet (so downstream stages scan columnar storage, not the
         live lineage)."""
         spark = df.sparkSession
-        path = self.data_path(stage)
+        snapshot_id = "%s-%d" % (stage, time.time_ns())
+        # versioned data dir: never write over the previous snapshot (whose
+        # files may be inputs of this very plan, e.g. the J2 resume union)
+        path = os.path.join(self.data_path(stage), snapshot_id)
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
@@ -91,7 +100,6 @@ class SnapshotStore:
             .collect()
         )
         rows = int(sum(r["count"] for r in part_counts))
-        snapshot_id = "%s-%d" % (stage, int(time.time() * 1000))
         metrics_rows = [
             {
                 "stage": stage,
@@ -123,7 +131,23 @@ class SnapshotStore:
         with open(tmp, "w") as f:
             json.dump(manifest, f)
         os.replace(tmp, self._manifest_path(stage))  # atomic publish
+        self._gc_versions(stage, keep=snapshot_id)
         return committed
+
+    def _gc_versions(self, stage: str, keep: str) -> None:
+        """Drop superseded version dirs.  Runs strictly after the manifest
+        publish, so the only referenced version (``keep``) survives; a crash
+        before this point merely leaves an unreferenced dir behind."""
+        import shutil
+
+        root = self.data_path(stage)
+        try:
+            entries = os.listdir(root)
+        except FileNotFoundError:
+            return
+        for name in entries:
+            if name != keep:
+                shutil.rmtree(os.path.join(root, name), ignore_errors=True)
 
     def stage(
         self,

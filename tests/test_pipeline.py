@@ -107,6 +107,35 @@ def test_resume_invalidates_on_fingerprint_change(spark, tmp_path):
     assert m1["snapshot_id"] != m2["snapshot_id"]
 
 
+def test_versioned_commit_never_overwrites_a_scanned_path(spark, tmp_path):
+    """ADVICE r3 (medium): a stage re-commit whose plan still scans the prior
+    committed snapshot (the J2 resume union shape) must not write over the
+    path it is reading.  Versioned data dirs make this safe by construction:
+    the new commit lands in a fresh dir, the manifest swaps atomically, and
+    the superseded dir is GC'd only after publish."""
+    import os
+
+    from folkscope_spark.snapshots import SnapshotStore
+
+    store = SnapshotStore(str(tmp_path / "vkg"))
+    df1 = spark.range(10).withColumnRenamed("id", "k")
+    store.commit("s", df1, "fp1")
+    m1 = store.manifest("s")
+    assert os.path.basename(os.path.dirname(m1["path"])) == "s"
+
+    # plan that reads the committed snapshot and re-commits the same stage
+    prev = store.read(spark, "s")
+    merged = prev.unionByName(spark.range(10, 15).withColumnRenamed("id", "k"))
+    committed = store.commit("s", merged, "fp2")
+    assert committed.count() == 15
+    m2 = store.manifest("s")
+    assert m2["path"] != m1["path"]
+    # superseded version is gone, the published one survives
+    assert not os.path.exists(m1["path"])
+    assert os.path.exists(os.path.join(m2["path"], "_SUCCESS"))
+    assert {r["k"] for r in store.read(spark, "s").collect()} == set(range(15))
+
+
 def test_connected_components_distributed_path(spark):
     from folkscope_spark.canonicalize import connected_components
 

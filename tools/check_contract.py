@@ -38,6 +38,15 @@ def main(sf_dir: str, only: list[str] | None = None):
 
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    # the driver records at most 50 contract queries; an entry past that
+    # budget silently falls out of CORRECTNESS_r{N} (it happened to
+    # fs_multimodal_features in round 3) — fail loudly instead
+    assert len(qs) <= 50, (
+        f"queries() has {len(qs)} entries but the driver checks only 50 — "
+        "merge or drop entries so nothing silently escapes the gate"
+    )
+    unknown = set(oracles) - set(qs)
+    assert not unknown, f"oracle_sql() keys without a queries() entry: {unknown}"
     fails = []
     for name, fn in qs.items():
         if only and name not in only:

@@ -162,7 +162,7 @@ def main():
     )
     audit(
         "item_feature_means (vector-aggregate, no per-dimension row blowup)",
-        item_feature_means(emb, dim=8),
+        item_feature_means(emb),
         [
             ("no posexplode of embedding dims", r"posexplode", False),
             ("partial+final hash aggregate", r"HashAggregate", True),
