@@ -223,6 +223,52 @@ def test_probase_topk_relational(tmp_path):
     assert m["runner"][0][0] == "person"
 
 
+def test_concept_minimaps_rebuild_matches_collected_map():
+    """The relational per-row mini-map (explode n-grams -> equi-join ->
+    collect_list) must reconstruct, per row, exactly the slice of the
+    collected dict that row can reach — including multi-token instances and
+    the (likelihood desc, concept asc) value order."""
+    from folkscope_spark.session import get_spark
+    from folkscope_spark.conceptualize import (
+        _row_topk,
+        collect_topk_map,
+        concept_minimaps,
+        probase_topk,
+    )
+
+    spark = get_spark(app="t", master="local[2]", shuffle_partitions=2)
+    probase = spark.createDataFrame(
+        [
+            ("natural material", "cotton", 60),
+            ("material", "cotton", 40),
+            ("clothing", "cotton shirt", 10),
+            ("person", "runner", 7),
+            ("athlete", "runner", 3),
+            ("place", "unreachable", 5),
+        ],
+        "concept string, instance string, freq long",
+    )
+    tk = probase_topk(probase)
+    full = collect_topk_map(tk)
+    rows = spark.createDataFrame(
+        [
+            ("e1", "r1", ["the", "cotton", "shirt"]),
+            ("e2", "r1", ["runner", "cotton"]),
+            ("e3", "r1", ["nothing", "here"]),
+        ],
+        "eid string, relation string, words array<string>",
+    )
+    got = {
+        (r["eid"], r["relation"]): _row_topk(r["_concept_map"])
+        for r in concept_minimaps(rows, tk, max_len=2).collect()
+    }
+    assert got[("e1", "r1")] == {
+        "cotton": full["cotton"], "cotton shirt": full["cotton shirt"]
+    }
+    assert got[("e2", "r1")] == {"cotton": full["cotton"], "runner": full["runner"]}
+    assert ("e3", "r1") not in got  # no hits -> left-join null -> empty dict
+
+
 def test_aggregate_concepts_bounds_hot_cid():
     """VERDICT r2 wrong #2: a Zipf-hot concept must not collect its whole
     instance set into one row.  One cid x 1e5 instances -> the full fan-in

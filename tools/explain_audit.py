@@ -187,6 +187,28 @@ def main():
         ],
     )
 
+    # conceptualization above PROBASE_BROADCAST_CUTOFF: the dimension is
+    # equi-joined and mini-mapped per row — no collect, no driver dict
+    from folkscope_spark.conceptualize import conceptualize, probase_topk
+
+    ev2 = spark.createDataFrame(
+        [("e1", "capableOf", ["a", "cotton"], ["DT", "NN"], 1.0)],
+        "eid string, relation string, words array<string>, "
+        "pos_tags array<string>, frequency double",
+    )
+    pb = spark.createDataFrame(
+        [("material", "cotton", 10)], "concept string, instance string, freq long"
+    )
+    audit(
+        "conceptualize relational path (no driver-collected dimension)",
+        conceptualize(ev2, None, topk_table=probase_topk(pb), max_gram_len=2),
+        [
+            ("n-gram explode generator", r"Generate", True),
+            ("per-row mini-map aggregation", r"collect_list", True),
+            ("Arrow-batched python kernel", r"(?i)mapinpandas", True),
+        ],
+    )
+
     with open("/root/repo/PLANS.md", "w") as f:
         f.write("# Physical-plan audit (generated by tools/explain_audit.py)\n\n")
         f.write("Asserted plan properties for the load-bearing operators; the full\n")
