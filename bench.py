@@ -9,15 +9,28 @@ Two KG measurements (north_rule):
 
 * **throughput**: the production pipeline (dedupe-aware parsing) at
   ``BENCH_KG_PAGES`` pages on local[CPUS] -> docs/sec.
-* **scaling**: the same job at N=local[4] and 4N=local[16] cores on identical
-  input; efficiency = (T_N / T_4N) / 4.  The scaling leg runs the
-  reference-parity configuration (per-row parse/match, CPU-bound) because the
-  dedupe-optimized job is memory-bandwidth-bound on a single host — a shared
-  memory bus is exactly what a real 4N-executor cluster does NOT have, so the
-  CPU-bound leg is the faithful stand-in.  The 4->16 pairing stays within
-  physical cores (8->32 crosses into SMT siblings: a pure-CPU microbenchmark
-  on this host caps 8->32 scaling at ~2.8x = 0.71 efficiency ceiling; 4->16
-  measures ~3.7x = 0.92).  Ceilings are re-measured and reported each run.
+* **scaling**: the same job at N and 4N cores on identical input;
+  efficiency = (T_N / T_4N) / 4.  The scaling legs run the reference-parity
+  configuration (per-row parse/match, CPU-bound) because the dedupe-optimized
+  job is memory-bandwidth-bound on a single host — a shared memory bus is
+  exactly what a real 4N-executor cluster does NOT have, so the CPU-bound leg
+  is the faithful stand-in.  TWO pairings are measured each run:
+
+  - **4->16 (authoritative)**: both legs stay inside the host's free
+    capacity.  The host has 32 real cores (no SMT — the earlier "SMT
+    sibling" reading was retracted in round 3) but carries ~8 cores of
+    external co-tenant load; a 32-core leg therefore measures tenancy, not
+    the plan.  The pure-CPU ceiling for each pairing is re-measured every
+    run and shipped in the JSON so the claim is checkable per-window.
+  - **8->32 (BASELINE.md stated config)**: reported alongside with its own
+    ceiling and per-stage timings; expected to sit below the 4->16 number
+    exactly by the measured host ceiling gap.
+
+Stage-timing tripwire: the throughput leg's per-stage timings are compared
+against the latest committed ``BENCH_r*.json``; any stage slower than
+``TRIPWIRE_FACTOR`` x its committed value is flagged in the JSON
+(``stage_regressions``) and on stderr — the r2 single-sample ambiguity can't
+recur silently.
 """
 
 from __future__ import annotations
@@ -43,6 +56,11 @@ KG_PAGES = int(os.environ.get("BENCH_KG_PAGES", "100000"))
 # input halves O's share of the ratio (VERDICT r2 #4)
 SCALE_PAGES = int(os.environ.get("BENCH_SCALE_PAGES", "100000"))
 SKIP_SCALING = os.environ.get("BENCH_SKIP_SCALING", "") == "1"
+# pages for the one-off concept_text-enabled leg (the reference runs the
+# whole-corpus conceptualized_text pass unconditionally; the graft keeps it
+# opt-in — this leg records what the pass costs, SURVEY.md §3.4)
+CONCEPT_TEXT_PAGES = int(os.environ.get("BENCH_CONCEPT_TEXT_PAGES", "25000"))
+TRIPWIRE_FACTOR = float(os.environ.get("BENCH_TRIPWIRE_FACTOR", "2.0"))
 
 HEADLINE = [
     "a1_signature_count",
@@ -111,8 +129,51 @@ def _fresh_session(master: str, shuffle: int):
     return spark
 
 
+def stage_regressions(
+    current: dict[str, float],
+    committed: dict[str, float],
+    factor: float = TRIPWIRE_FACTOR,
+    min_seconds: float = 2.0,
+) -> dict[str, dict[str, float]]:
+    """Stages slower than ``factor`` x their committed BENCH value.  Stages
+    under ``min_seconds`` committed are skipped (sub-second noise on a
+    co-tenant host is not a regression signal)."""
+    out = {}
+    for stage, base in committed.items():
+        now = current.get(stage)
+        if now is None or base < min_seconds:
+            continue
+        if now > factor * base:
+            out[stage] = {"now_s": round(now, 3), "committed_s": round(base, 3)}
+    return out
+
+
+def latest_committed_stages(repo_dir: str | None = None) -> dict[str, float]:
+    """stage_timings of the newest committed BENCH_r*.json (empty if none)."""
+    import glob
+    import re
+
+    repo_dir = repo_dir or os.path.dirname(os.path.abspath(__file__))
+    best, best_n = None, -1
+    for p in glob.glob(os.path.join(repo_dir, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m and int(m.group(1)) > best_n:
+            best, best_n = p, int(m.group(1))
+    if best is None:
+        return {}
+    try:
+        with open(best) as f:
+            d = json.load(f)
+        # the driver wraps bench stdout under "parsed"; accept both shapes
+        d = d.get("parsed", d) or {}
+        return dict(d.get("kg", {}).get("stage_timings", {}))
+    except Exception:
+        return {}
+
+
 def run_kg(
-    master: str, shuffle: int, pages: int, dedupe: bool, repeats: int = 1
+    master: str, shuffle: int, pages: int, dedupe: bool, repeats: int = 1,
+    **pipeline_kw,
 ) -> tuple[float, dict[str, float]]:
     """(wall seconds, per-stage timings) for the KG pipeline; a warmup run
     first pays Python-worker startup / imports / JIT (one-time executor costs
@@ -141,11 +202,18 @@ def run_kg(
             with_canonicalize=True,
             max_extra=2,
             dedupe_parse=dedupe,
+            **pipeline_kw,
         )
         t_fin = time.time()
         r["triples"].count()
         stages = dict(r["stages"])
         stages["final_count"] = round(time.time() - t_fin, 3)
+        if r.get("concept_text") is not None:
+            # the storeless stage is cache-lazy: its recorded stage time is
+            # plan construction only — force it and record the real cost
+            t_ct = time.time()
+            r["concept_text"].count()
+            stages["concept_text_materialize"] = round(time.time() - t_ct, 3)
         walls.append(time.time() - t0)
         stage_runs.append(stages)
         spark.catalog.clearCache()
@@ -180,6 +248,28 @@ def main():
         kg["stage_timings"] = prod_stages
         queries["kg_pipeline"] = round(t_prod, 3)
 
+        # tripwire: any stage > TRIPWIRE_FACTOR x its last committed value is
+        # flagged — the r2 "is 230s a regression or a bad sample?" ambiguity
+        # becomes an explicit signal (VERDICT r3 next #5)
+        regress = stage_regressions(prod_stages, latest_committed_stages())
+        kg["stage_regressions"] = regress
+        if regress:
+            print(f"BENCH TRIPWIRE: stage slowdown vs committed: {regress}",
+                  file=sys.stderr)
+
+        # one concept_text-enabled run: the cost of defaulting the reference's
+        # whole-corpus conceptualized_text pass on (SURVEY.md §3.4 decision)
+        t_ct, ct_stages = run_kg(
+            f"local[{CPUS}]", 3 * CPUS, CONCEPT_TEXT_PAGES, dedupe=True,
+            with_concept_text=True,
+        )
+        kg["concept_text_leg"] = {
+            "pages": CONCEPT_TEXT_PAGES,
+            "wall_s": round(t_ct, 2),
+            "concept_text_stage_s": ct_stages.get("concept_text_materialize"),
+            "stage_timings": ct_stages,
+        }
+
         # scaling: same job, N=4 vs 4N=16 cores, CPU-bound (parity) config.
         # Legs are interleaved (4,16,4,16) so minute-scale co-tenant load
         # swings on this shared host hit both sides of the ratio equally;
@@ -206,6 +296,27 @@ def main():
                 "scaling_efficiency_vs_ceiling": round(eff / ceiling, 3),
                 "stage_timings_n4": lo_stages,
                 "stage_timings_n16": hi_stages,
+            }
+        )
+
+        # BASELINE.md's stated config (local[8] vs local[32]) — one
+        # interleaved leg pair + its own ceiling.  The hi leg asks for every
+        # core of a host with ~8 cores of external load, so this pairing
+        # reads the tenancy as inefficiency; it ships with its own measured
+        # pure-CPU ceiling so the gap is attributable (VERDICT r3 next #3).
+        t_n8, n8_stages = run_kg("local[8]", 24, SCALE_PAGES, dedupe=False)
+        t_n32, n32_stages = run_kg("local[32]", 96, SCALE_PAGES, dedupe=False)
+        eff832 = (t_n8 / t_n32) / 4.0
+        ceiling832 = cpu_ceiling(8, 32) / 4.0
+        kg.update(
+            {
+                "wall_n8_s": round(t_n8, 2),
+                "wall_n32_s": round(t_n32, 2),
+                "scaling_efficiency_8_32": round(eff832, 3),
+                "host_cpu_ceiling_efficiency_8_32": round(ceiling832, 3),
+                "scaling_efficiency_8_32_vs_ceiling": round(eff832 / ceiling832, 3),
+                "stage_timings_n8": n8_stages,
+                "stage_timings_n32": n32_stages,
             }
         )
 

@@ -41,16 +41,24 @@ def build_dictionary(df: DataFrame, key_col: str, n_partitions: int = DICT_PARTI
     # the lineage truncation is load-bearing: repartitionByRange *samples*
     # its boundaries over a nondeterministically ordered distinct() shuffle,
     # so a recomputed partition (cache-block loss on executor failure) could
-    # disagree with the collected offsets.  localCheckpoint pins the layout
-    # by cutting the lineage — a recompute is impossible, not just unlikely
-    # (same pattern as canonicalize.py; ADVICE r2)
+    # disagree with the collected offsets.  Cutting the lineage pins the
+    # layout — a recompute is impossible, not just unlikely (ADVICE r2).
+    # Checkpoint flavor (ADVICE r3): localCheckpoint blocks are
+    # non-replicated executor state, so on a real cluster an executor loss
+    # fails the job hard (fail-loud, never wrong).  When the session has a
+    # reliable checkpoint dir configured (sc.setCheckpointDir — HDFS/S3 on a
+    # cluster), use a durable checkpoint instead: the pinned layout survives
+    # executor loss.
     keys = (
         df.select(F.col(key_col).alias("key"))
         .distinct()
         .repartitionByRange(n_partitions, "key")
         .sortWithinPartitions("key")
-        .localCheckpoint(eager=True)
     )
+    if df.sparkSession.sparkContext.getCheckpointDir() is not None:
+        keys = keys.checkpoint(eager=True)
+    else:
+        keys = keys.localCheckpoint(eager=True)
     sizes = (
         keys.select(F.spark_partition_id().alias("pid"))
         .groupBy("pid")

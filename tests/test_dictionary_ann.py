@@ -22,6 +22,34 @@ def test_build_dictionary_deterministic(spark):
     assert d1 == d2 == {("a", 0), ("b", 1), ("c", 2)}
 
 
+def test_build_dictionary_reliable_checkpoint(spark, tmp_path):
+    """ADVICE r3: with a reliable checkpoint dir configured (cluster
+    deployments), the pinned layout is a durable checkpoint — same ids,
+    and the checkpoint actually lands in the dir."""
+    import os
+
+    from folkscope_spark.dictionary import build_dictionary
+
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    try:
+        df = spark.createDataFrame([("b",), ("a",), ("c",), ("a",)], "k string")
+        d = {(r["key"], r["id"]) for r in build_dictionary(df, "k").collect()}
+        assert d == {("a", 0), ("b", 1), ("c", 2)}
+        ckpt_files = [
+            os.path.join(dp, f)
+            for dp, _, fs in os.walk(str(tmp_path / "ckpt"))
+            for f in fs
+        ]
+        assert ckpt_files, "no durable checkpoint written"
+    finally:
+        # restore the shared session's no-checkpoint-dir state
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(
+            sc._jvm.scala.Option.apply(None)
+        )
+
+
 def test_salted_count_matches_plain(spark):
     from folkscope_spark.dictionary import salted_count
 
