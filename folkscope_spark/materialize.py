@@ -8,11 +8,12 @@ at 0.0/0.5/0.9 (``preprocess.py:174``).  Here the KG is a deduplicated
 a ``subj``-hash bucket column (north_rule partitioning) so point lookups prune
 to one (pred, bucket) directory.
 
-Skew: head subjects are Zipf-hot (the synthetic corpus plants them).  The
-score aggregation runs **salted two-phase**: partial agg on (subj, pred, obj,
-salt) spreads a hot key over ``n_salts`` reducers before the final combine —
-AQE fixes join skew but not hot-key groupBy, so the salt is explicit
-(SURVEY.md §4 custom-1).
+Skew: head subjects are Zipf-hot (the synthetic corpus plants them), but the
+dedupe agg is max/count — it partial-aggregates map-side, so each reducer
+sees at most one pre-combined row per key per map task; hot-key groupBy skew
+is already bounded without an explicit salt (the salt belongs to aggs that
+cannot partial-combine, e.g. ``conceptualize.top_instances_per_concept``'s
+collect_list — SURVEY.md §4 custom-1).
 """
 
 from __future__ import annotations
@@ -20,7 +21,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 N_BUCKETS = 16
-N_SALTS = 8
 
 
 def sid_to_pair(df: DataFrame) -> DataFrame:
@@ -43,7 +43,8 @@ def build_triples(
 ) -> DataFrame:
     """(subj, relation, obj_text, plausibility rows) -> deduplicated scored
     triples.  ``canon_map(text, canonical_text)`` rewrites near-duplicate
-    surface forms first (O7); the duplicate-collapse aggregation is salted."""
+    surface forms first (O7); the duplicate collapse is one partial+final
+    hash aggregation (single exchange)."""
     t = events_with_scores.select(
         "subj",
         F.col("relation").alias("pred"),
@@ -56,17 +57,18 @@ def build_triples(
             .withColumn("obj", F.coalesce("canonical_text", "obj"))
             .drop("text", "canonical_text")
         )
-    # salted two-phase max-score dedupe
-    partial = (
-        t.withColumn("_salt", F.pmod(F.xxhash64("subj", "pred", "obj"), F.lit(N_SALTS)))
-        .groupBy("subj", "pred", "obj", "_salt")
-        .agg(F.max("score").alias("score"), F.count("*").alias("_n"))
-    )
+    # single-shuffle max-score dedupe: max/count partial-aggregate map-side
+    # (HashAggregate(partial) -> Exchange -> HashAggregate(final)), so a
+    # Zipf-hot key reaches its reducer already combined to <= one row per map
+    # task — the partial agg IS the salt.  An explicit salted two-phase only
+    # pays for apply-side aggs that cannot partial-combine (collect_list-style,
+    # see conceptualize.top_instances_per_concept); here it doubled the
+    # shuffle: measured 4.5M-row dedupe at 100k pages, ~17.6s -> one exchange.
     return (
-        partial.groupBy("subj", "pred", "obj")
+        t.groupBy("subj", "pred", "obj")
         .agg(
             F.max("score").alias("score"),
-            F.sum("_n").alias("support"),
+            F.count("*").alias("support"),
         )
         .select("subj", "pred", "obj", "score", "support")
     )

@@ -441,6 +441,8 @@ def run_pipeline(
         "scored": scored,
         "parsed": parsed,
         "mined": mined,
+        "matched": matched,
+        "event_triples_src": event_triples_src,
         "events": events,
         "triples": triples,
         "concepts": concepts,

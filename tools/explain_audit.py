@@ -91,7 +91,7 @@ def main():
         ],
     )
 
-    # salted triple aggregation: two-phase groupBy visible
+    # triple dedupe: single exchange, map-side partial agg bounds hot keys
     from folkscope_spark.materialize import build_triples
 
     fake = spark.createDataFrame(
@@ -99,11 +99,11 @@ def main():
         "subj string, relation string, obj_text string, plausibility double",
     )
     audit(
-        "build_triples (salted two-phase dedupe)",
+        "build_triples (single-exchange partial+final dedupe)",
         build_triples(fake),
         [
-            ("salt column in first agg", r"_salt", True),
-            ("two aggregation phases", r"HashAggregate", True),
+            ("no explicit salt column", r"_salt", False),
+            ("partial+final hash agg", r"HashAggregate", True),
         ],
     )
 

@@ -1,0 +1,67 @@
+"""One KG-pipeline leg in its own process — building block for the
+two-process "multi-node" scaling stand-in (tools/two_process_scaling.py).
+
+Runs the reference-parity (CPU-bound) configuration of the pipeline at the
+given master/pages and prints one JSON line with wall seconds and stage
+timings.  Kept minimal so the subprocess boundary is the only thing the
+experiment adds.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--master", default="local[8]")
+    ap.add_argument("--shuffle", type=int, default=24)
+    ap.add_argument("--pages", type=int, default=50000)
+    ap.add_argument("--warmup-pages", type=int, default=300)
+    args = ap.parse_args()
+
+    import os
+
+    os.environ.setdefault("SPARK_DRIVER_MEM", "8g")
+    from folkscope_spark.pipeline import run_pipeline
+    from folkscope_spark.session import get_spark
+
+    spark = get_spark(
+        app=f"kg-leg-{args.master}", master=args.master,
+        shuffle_partitions=args.shuffle,
+        extra={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("OFF")
+
+    # warmup: Python-worker startup / imports / JIT (one-time executor costs)
+    run_pipeline(
+        spark, out_dir=None, n_pages=args.warmup_pages, n_items=60,
+        with_concepts=True, with_canonicalize=True, max_extra=1,
+        dedupe_parse=False,
+    )["triples"].count()
+    spark.catalog.clearCache()
+
+    t0 = time.time()
+    r = run_pipeline(
+        spark, out_dir=None, n_pages=args.pages,
+        n_items=max(50, args.pages // 17),
+        with_concepts=True, with_canonicalize=True, max_extra=2,
+        dedupe_parse=False,
+    )
+    r["triples"].count()
+    wall = time.time() - t0
+    print(json.dumps({
+        "master": args.master,
+        "pages": args.pages,
+        "wall_s": round(wall, 2),
+        "docs_per_sec": round(args.pages / wall, 2),
+        "stages": r["stages"],
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
