@@ -95,6 +95,8 @@ _PUNCT_TAGS = {
 
 _VERB_AFTER = {"VBP", "VBZ", "VBD", "MD", "VB", "TO"}  # contexts where -ed => VBN
 
+_NUM_RE = re.compile(r"\d+(?:\.\d+)?")
+
 
 def pos_tag(tokens: list[str]) -> list[str]:
     tags: list[str] = []
@@ -105,7 +107,7 @@ def pos_tag(tokens: list[str]) -> list[str]:
             tags.append(_PUNCT_TAGS[tok])
         elif tok in ("<url>", "<ref>"):
             tags.append("NN")
-        elif re.fullmatch(r"\d+(?:\.\d+)?", tok):
+        elif _NUM_RE.fullmatch(tok):
             tags.append("CD")
         elif low == "both":
             # parity quirk: "they could both" tags both as CC (utils.py:20),
