@@ -208,6 +208,11 @@ def run_kg(
         r["triples"].count()
         stages = dict(r["stages"])
         stages["final_count"] = round(time.time() - t_fin, 3)
+        # kernel CPU-seconds (summed across cores) per Python-kernel stage:
+        # stage_wall - kernel_cpu/n_cores = framework (Arrow/shuffle/schedule)
+        # overhead, the split the scaling attribution needs
+        for k, v in r["kernel_timers"].seconds().items():
+            stages[f"{k}_kernel_cpu_s"] = v
         if r.get("concept_text") is not None:
             # the storeless stage is cache-lazy: its recorded stage time is
             # plan construction only — force it and record the real cost

@@ -54,6 +54,7 @@ from itertools import combinations
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
+from .metrics import batch_timer
 from .relations import POS_TEMPLATES
 
 DEFAULT_TOPK = 5
@@ -514,6 +515,7 @@ def conceptualize(
     start_index_mode: str = "tokens",
     topk_table: DataFrame | None = None,
     max_gram_len: int = 4,
+    kernel_acc=None,
 ) -> DataFrame:
     """eventualities (merged D8) -> concept-instance rows
     (pid, cid, eid, relation, concept_text, pattern, score, frequency).
@@ -544,59 +546,61 @@ def conceptualize(
     def run(batches):
         tm_global = None if relational else _resolve_topk(topk_map)
         for pdf in batches:
-            rows = []
-            map_src = pdf["_concept_map"] if "_concept_map" in pdf.columns else None
-            has_counters = "ner_counters" in pdf.columns
-            ner_src = pdf["ner_counters"] if has_counters else pdf.get("ners", [None] * len(pdf))
-            dep_src = pdf["dependencies"] if "dependencies" in pdf.columns else [None] * len(pdf)
-            pat_src = pdf["pattern_sig"] if "pattern_sig" in pdf.columns else [None] * len(pdf)
-            if map_src is None:
-                map_src = [None] * len(pdf)
-            for eid, rel, words, pos_tags, ners, deps, pat, freq, mentries in zip(
-                pdf["eid"], pdf["relation"], pdf["words"], pdf["pos_tags"],
-                ner_src, dep_src, pat_src, pdf["frequency"], map_src,
-            ):
-                tm = tm_global if tm_global is not None else _row_topk(mentries)
-                words = list(words)
-                pos_tags = list(pos_tags)
-                if has_counters:
-                    ners = _dominant_ner(ners, pos_tags)
-                elif ners is not None:
-                    # Eventuality.ners applies the VB guard to string labels
-                    # too (object.py:496-506)
-                    ners = [
-                        "O" if pos_tags[i].startswith("VB") else n
-                        for i, n in enumerate(list(ners)[: len(pos_tags)])
-                    ]
-                dep_triples = (
-                    [(d["gov"], d["rel"], d["dep"]) for d in deps]
-                    if deps is not None
-                    else None
-                )
-                for cw, score in conceptualize_eventuality(
-                    words, pos_tags, ners, dep_triples, tm, top_k,
-                    start_index=start_indices.get(rel, 0),
+            with batch_timer(kernel_acc):
+                rows = []
+                map_src = pdf["_concept_map"] if "_concept_map" in pdf.columns else None
+                has_counters = "ner_counters" in pdf.columns
+                ner_src = pdf["ner_counters"] if has_counters else pdf.get("ners", [None] * len(pdf))
+                dep_src = pdf["dependencies"] if "dependencies" in pdf.columns else [None] * len(pdf)
+                pat_src = pdf["pattern_sig"] if "pattern_sig" in pdf.columns else [None] * len(pdf)
+                if map_src is None:
+                    map_src = [None] * len(pdf)
+                for eid, rel, words, pos_tags, ners, deps, pat, freq, mentries in zip(
+                    pdf["eid"], pdf["relation"], pdf["words"], pdf["pos_tags"],
+                    ner_src, dep_src, pat_src, pdf["frequency"], map_src,
                 ):
-                    cid = cid_of(cw)
-                    rows.append(
-                        {
-                            "pid": pid_of(cid, eid),
-                            "cid": cid,
-                            "eid": eid,
-                            "relation": rel,
-                            "concept_text": " ".join(cw),
-                            "pattern": pat,
-                            "score": float(score),
-                            "frequency": float(freq),
-                        }
+                    tm = tm_global if tm_global is not None else _row_topk(mentries)
+                    words = list(words)
+                    pos_tags = list(pos_tags)
+                    if has_counters:
+                        ners = _dominant_ner(ners, pos_tags)
+                    elif ners is not None:
+                        # Eventuality.ners applies the VB guard to string labels
+                        # too (object.py:496-506)
+                        ners = [
+                            "O" if pos_tags[i].startswith("VB") else n
+                            for i, n in enumerate(list(ners)[: len(pos_tags)])
+                        ]
+                    dep_triples = (
+                        [(d["gov"], d["rel"], d["dep"]) for d in deps]
+                        if deps is not None
+                        else None
                     )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "pid", "cid", "eid", "relation", "concept_text",
-                    "pattern", "score", "frequency",
-                ],
-            )
+                    for cw, score in conceptualize_eventuality(
+                        words, pos_tags, ners, dep_triples, tm, top_k,
+                        start_index=start_indices.get(rel, 0),
+                    ):
+                        cid = cid_of(cw)
+                        rows.append(
+                            {
+                                "pid": pid_of(cid, eid),
+                                "cid": cid,
+                                "eid": eid,
+                                "relation": rel,
+                                "concept_text": " ".join(cw),
+                                "pattern": pat,
+                                "score": float(score),
+                                "frequency": float(freq),
+                            }
+                        )
+                out = pd.DataFrame(
+                    rows,
+                    columns=[
+                        "pid", "cid", "eid", "relation", "concept_text",
+                        "pattern", "score", "frequency",
+                    ],
+                )
+            yield out
 
     cols = [
         c
@@ -626,6 +630,7 @@ def conceptualize_text(
     start_index_mode: str = "tokens",
     topk_table: DataFrame | None = None,
     max_gram_len: int = 4,
+    kernel_acc=None,
 ) -> DataFrame:
     """``conceptualized_text`` — the whole-parsed-line pass the reference runs
     alongside per-eventuality conceptualization (conceptualizer.py:682-685):
@@ -644,37 +649,39 @@ def conceptualize_text(
     def run(batches):
         tm_global = None if relational else _resolve_topk(topk_map)
         for pdf in batches:
-            rows = []
-            tok_src = pdf["tokens"] if has_tokens else pdf["lemmas"]
-            ner_src = pdf["ners"] if "ners" in pdf.columns else [None] * len(pdf)
-            map_src = (
-                pdf["_concept_map"]
-                if "_concept_map" in pdf.columns
-                else [None] * len(pdf)
-            )
-            for sid, rel, toks, pos_tags, ners, deps, mentries in zip(
-                pdf["sid"], pdf["relation"], tok_src, pdf["pos_tags"],
-                ner_src, pdf["dependencies"], map_src,
-            ):
-                tm = tm_global if tm_global is not None else _row_topk(mentries)
-                dep_triples = [(d["gov"], d["rel"], d["dep"]) for d in deps]
-                for cw, score in conceptualize_from_text(
-                    list(toks), list(ners) if ners is not None else None,
-                    list(pos_tags), dep_triples, tm, top_k,
-                    start_index=start_indices.get(rel, 0),
+            with batch_timer(kernel_acc):
+                rows = []
+                tok_src = pdf["tokens"] if has_tokens else pdf["lemmas"]
+                ner_src = pdf["ners"] if "ners" in pdf.columns else [None] * len(pdf)
+                map_src = (
+                    pdf["_concept_map"]
+                    if "_concept_map" in pdf.columns
+                    else [None] * len(pdf)
+                )
+                for sid, rel, toks, pos_tags, ners, deps, mentries in zip(
+                    pdf["sid"], pdf["relation"], tok_src, pdf["pos_tags"],
+                    ner_src, pdf["dependencies"], map_src,
                 ):
-                    rows.append(
-                        {
-                            "sid": sid,
-                            "relation": rel,
-                            "cid": cid_of(cw),
-                            "concept_text": " ".join(cw),
-                            "score": float(score),
-                        }
-                    )
-            yield pd.DataFrame(
-                rows, columns=["sid", "relation", "cid", "concept_text", "score"]
-            )
+                    tm = tm_global if tm_global is not None else _row_topk(mentries)
+                    dep_triples = [(d["gov"], d["rel"], d["dep"]) for d in deps]
+                    for cw, score in conceptualize_from_text(
+                        list(toks), list(ners) if ners is not None else None,
+                        list(pos_tags), dep_triples, tm, top_k,
+                        start_index=start_indices.get(rel, 0),
+                    ):
+                        rows.append(
+                            {
+                                "sid": sid,
+                                "relation": rel,
+                                "cid": cid_of(cw),
+                                "concept_text": " ".join(cw),
+                                "score": float(score),
+                            }
+                        )
+                out = pd.DataFrame(
+                    rows, columns=["sid", "relation", "cid", "concept_text", "score"]
+                )
+            yield out
 
     cols = [c for c in ("sid", "relation", "tokens", "lemmas", "pos_tags", "ners", "dependencies") if c in parsed.columns]
     src = parsed.select(cols)

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame
 
 from .eventuality import build_eventuality
 from .graphs import DiGraph, construct_pattern, get_subisomorphisms, graph_of
+from .metrics import batch_timer
 from .relations import OPTIONAL_POS_TAGS
 from .schemas import EVENTUALITIES
 
@@ -188,7 +189,8 @@ _cache = _PatternCache()
 
 
 def match_patterns(
-    parsed: DataFrame, mined: dict, subset_dedupe: bool = False
+    parsed: DataFrame, mined: dict, subset_dedupe: bool = False,
+    kernel_acc=None,
 ) -> DataFrame:
     """parsed (D6) -> eventualities (D8).  ``mined`` is the driver-side
     pattern dictionary from :func:`folkscope_spark.patterns.finish_patterns`;
@@ -210,57 +212,60 @@ def match_patterns(
         # relation too or a second relation's group could be all-null.
         fat_seen: set[tuple[str, str]] = set()
         for pdf in batches:
-            rows = []
-            weights = pdf["weight"] if has_weight else [1.0] * len(pdf)
-            for sid, rel, pos_tags, lemmas, ners, dep_structs, w in zip(
-                pdf["sid"], pdf["relation"], pdf["pos_tags"],
-                pdf["lemmas"], pdf["ners"], pdf["dependencies"],
-                weights,
-            ):
-                if rel not in prepared:
-                    continue
-                patterns, hierarchy = prepared[rel]
-                parsed_row = {
-                    "pos_tags": list(pos_tags),
-                    "lemmas": list(lemmas),
-                    "ners": list(ners),
-                    "dependencies": [(d["gov"], d["rel"], d["dep"]) for d in dep_structs],
-                }
-                extracted = extract_from_sentence(parsed_row, patterns, hierarchy)
-                if subset_dedupe:
-                    extracted = skeleton_subset_dedupe(extracted)
-                for ev in extracted:
-                    first_time = (rel, ev["eid"]) not in fat_seen
-                    if first_time:
-                        fat_seen.add((rel, ev["eid"]))
-                    rows.append(
-                        {
-                            "eid": ev["eid"],
-                            "sid": sid,
-                            "relation": rel,
-                            "pattern_sig": ev["pattern_sig"] if first_time else None,
-                            "words": ev["words"],
-                            "pos_tags": ev["pos_tags"] if first_time else None,
-                            "dependencies": [
-                                {"gov": g, "rel": r, "dep": d}
-                                for g, r, d in ev["dependencies"]
-                            ]
-                            if first_time
-                            else None,
-                            "skeleton_indices": ev["skeleton_indices"] if first_time else None,
-                            "verb_indices": ev["verb_indices"] if first_time else None,
-                            "ners": ev["ners"],
-                            "frequency": float(w),
-                        }
-                    )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "eid", "sid", "relation", "pattern_sig", "words", "pos_tags",
-                    "dependencies", "skeleton_indices", "verb_indices", "ners",
-                    "frequency",
-                ],
-            )
+            with batch_timer(kernel_acc):
+                rows = []
+                weights = pdf["weight"] if has_weight else [1.0] * len(pdf)
+                for sid, rel, pos_tags, lemmas, ners, dep_structs, w in zip(
+                    pdf["sid"], pdf["relation"], pdf["pos_tags"],
+                    pdf["lemmas"], pdf["ners"], pdf["dependencies"],
+                    weights,
+                ):
+                    if rel not in prepared:
+                        continue
+                    patterns, hierarchy = prepared[rel]
+                    parsed_row = {
+                        "pos_tags": list(pos_tags),
+                        "lemmas": list(lemmas),
+                        "ners": list(ners),
+                        "dependencies": [(d["gov"], d["rel"], d["dep"]) for d in dep_structs],
+                    }
+                    extracted = extract_from_sentence(parsed_row, patterns, hierarchy)
+                    if subset_dedupe:
+                        extracted = skeleton_subset_dedupe(extracted)
+                    for ev in extracted:
+                        first_time = (rel, ev["eid"]) not in fat_seen
+                        if first_time:
+                            fat_seen.add((rel, ev["eid"]))
+                        rows.append(
+                            {
+                                "eid": ev["eid"],
+                                "sid": sid,
+                                "relation": rel,
+                                "pattern_sig": ev["pattern_sig"] if first_time else None,
+                                "words": ev["words"],
+                                "pos_tags": ev["pos_tags"] if first_time else None,
+                                "dependencies": [
+                                    {"gov": g, "rel": r, "dep": d}
+                                    for g, r, d in ev["dependencies"]
+                                ]
+                                if first_time
+                                else None,
+                                "skeleton_indices": ev["skeleton_indices"] if first_time else None,
+                                "verb_indices": ev["verb_indices"] if first_time else None,
+                                "ners": ev["ners"],
+                                "frequency": float(w),
+                            }
+                        )
+                out = pd.DataFrame(
+                    rows,
+                    columns=[
+                        "eid", "sid", "relation", "pattern_sig", "words", "pos_tags",
+                        "dependencies", "skeleton_indices", "verb_indices", "ners",
+                        "frequency",
+                    ],
+                )
+            # yield outside the timed block: suspended (Arrow) time not counted
+            yield out
 
     cols = ["sid", "relation", "pos_tags", "lemmas", "ners",
             "dependencies"] + (["weight"] if has_weight else [])

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from pyspark.sql import types as T
 
+from .metrics import batch_timer
 from .nlp import parse_sentence
 from .schemas import PARSED
 from .textnorm import clean_text
@@ -33,7 +34,7 @@ PARSED_W = T.StructType(
 
 def parse_assertions(
     assertions: DataFrame, dedupe: bool = True, slim: bool = False,
-    skip_words=None,
+    skip_words=None, kernel_acc=None,
 ) -> DataFrame:
     """assertions(tail,...) -> parsed rows.
 
@@ -93,36 +94,40 @@ def parse_assertions(
 
     def run(batches):
         for pdf in batches:
-            rows = []
-            for sid, rel, tail, weight in zip(
-                pdf["sid"], pdf["relation"], pdf["tail"], pdf["weight"]
-            ):
-                cleaned = clean_text(tail)
-                if not cleaned:
-                    continue
-                parsed = parse_sentence(cleaned)
-                if not parsed["dependencies"]:
-                    continue
-                if skip and set(parsed["tokens"]) & skip:
-                    continue  # P8 (extractor.py:393-395)
-                row = {
-                    "sid": sid,
-                    "relation": rel,
-                    "weight": weight,
-                    "pos_tags": parsed["pos_tags"],
-                    "lemmas": parsed["lemmas"],
-                    "ners": parsed["ners"],
-                    "dependencies": [
-                        {"gov": g, "rel": r, "dep": d}
-                        for g, r, d in parsed["dependencies"]
-                    ],
-                }
-                if not slim:
-                    row["text"] = parsed["text"]
-                    row["tokens"] = parsed["tokens"]
-                    row["mentions"] = parsed["mentions"]
-                rows.append(row)
-            yield pd.DataFrame(rows, columns=out_cols)
+            # the timed block covers decoded-batch compute only; the yield is
+            # outside so suspended time (Arrow encode/decode) never counts
+            with batch_timer(kernel_acc):
+                rows = []
+                for sid, rel, tail, weight in zip(
+                    pdf["sid"], pdf["relation"], pdf["tail"], pdf["weight"]
+                ):
+                    cleaned = clean_text(tail)
+                    if not cleaned:
+                        continue
+                    parsed = parse_sentence(cleaned)
+                    if not parsed["dependencies"]:
+                        continue
+                    if skip and set(parsed["tokens"]) & skip:
+                        continue  # P8 (extractor.py:393-395)
+                    row = {
+                        "sid": sid,
+                        "relation": rel,
+                        "weight": weight,
+                        "pos_tags": parsed["pos_tags"],
+                        "lemmas": parsed["lemmas"],
+                        "ners": parsed["ners"],
+                        "dependencies": [
+                            {"gov": g, "rel": r, "dep": d}
+                            for g, r, d in parsed["dependencies"]
+                        ],
+                    }
+                    if not slim:
+                        row["text"] = parsed["text"]
+                        row["tokens"] = parsed["tokens"]
+                        row["mentions"] = parsed["mentions"]
+                    rows.append(row)
+                out = pd.DataFrame(rows, columns=out_cols)
+            yield out
 
     return src.mapInPandas(run, schema=schema)
 

@@ -33,6 +33,7 @@ from .conceptualize import (
     probase_topk,
 )
 from .match import match_patterns, merge_eventualities
+from .metrics import KernelTimers
 from .snapshots import SnapshotStore
 
 # Probase dimensions below this row count are collected whole (the vocabulary
@@ -75,6 +76,10 @@ def run_pipeline(
     instead of snapshot-committed (fast smoke/test mode, no resume)."""
     store = SnapshotStore(out_dir) if out_dir else None
     timings: dict[str, float] = {}
+    # per-kernel CPU-second accumulators: after the run, result["kernel_timers"]
+    # .seconds() splits each Python-kernel stage's wall into kernel compute
+    # (summed across cores) vs framework (Arrow/shuffle/schedule) overhead
+    kernel_timers = KernelTimers(spark)
     fp = (f"v1:n_pages={n_pages}:n_items={n_items}:minp={min_plausibility}"
           f":extra={max_extra}:dedupe={dedupe_parse}:dense={dense_tails}"
           f":skip={','.join(sorted(skip_words)) if skip_words else ''}")
@@ -205,7 +210,8 @@ def run_pipeline(
         lambda: store.stage(
             spark, "parsed", fp,
             lambda: parse.parse_assertions(
-                scored, dedupe=dedupe_parse, slim=True, skip_words=skip_words
+                scored, dedupe=dedupe_parse, slim=True, skip_words=skip_words,
+                kernel_acc=kernel_timers["parse"],
             ),
         ),
     )
@@ -253,7 +259,8 @@ def run_pipeline(
     matched = timed(
         "match",
         lambda: store.stage(
-            spark, "matched", fp, lambda: match_patterns(parsed, mined)
+            spark, "matched", fp,
+            lambda: match_patterns(parsed, mined, kernel_acc=kernel_timers["match"]),
         ),
     )
     events = timed(
@@ -378,7 +385,8 @@ def run_pipeline(
                 "concept_rows",
                 fp,
                 lambda: conceptualize(
-                    events, topk_map, topk_table=topk_table, max_gram_len=gram_len
+                    events, topk_map, topk_table=topk_table, max_gram_len=gram_len,
+                    kernel_acc=kernel_timers["conceptualize"],
                 ),
             ),
         )
@@ -420,7 +428,8 @@ def run_pipeline(
                     "concept_text",
                     fp,
                     lambda: conceptualize_text(
-                        parsed, topk_map, topk_table=topk_table, max_gram_len=gram_len
+                        parsed, topk_map, topk_table=topk_table, max_gram_len=gram_len,
+                        kernel_acc=kernel_timers["concept_text"],
                     ),
                 ),
             )
@@ -450,6 +459,7 @@ def run_pipeline(
         "concept_text": concept_text,
         "stages": timings,
         "counters": counters,
+        "kernel_timers": kernel_timers,
         "probase_mode": mode,
         "store": store,
     }

@@ -63,6 +63,21 @@ def test_scores_in_unit_interval(result):
     assert bad == 0
 
 
+def test_kernel_timers_attribute_python_compute(result):
+    """The parse/match/conceptualize accumulators report kernel CPU-seconds
+    after their stages' actions ran — the per-stage Python-vs-framework split
+    the bench ships (metrics.KernelTimers)."""
+    result["concept_triples"].count()  # force the conceptualize kernel
+    sec = result["kernel_timers"].seconds()
+    assert sec.get("parse", 0) > 0
+    assert sec.get("match", 0) > 0
+    assert sec.get("conceptualize", 0) > 0
+    # kernel CPU cannot exceed stage wall x worker cores (8) by any margin
+    # that survives rounding; catches accidentally timing suspended (Arrow)
+    # generator time
+    assert sec["parse"] <= max(result["stages"]["parse"], 1.0) * 8 * 1.5
+
+
 def test_threshold_variants_nest(result):
     from folkscope_spark.materialize import threshold_variants
 
