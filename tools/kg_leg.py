@@ -21,10 +21,24 @@ def main() -> None:
     ap.add_argument("--shuffle", type=int, default=24)
     ap.add_argument("--pages", type=int, default=50000)
     ap.add_argument("--warmup-pages", type=int, default=300)
+    ap.add_argument(
+        "--config", choices=("parity", "prod"), default="parity",
+        help="parity = per-row parse/match (CPU-bound scaling config); "
+        "prod = dedupe-aware parsing (the bench throughput config)",
+    )
+    ap.add_argument(
+        "--repo", default=None,
+        help="run the pipeline from this checkout instead of the installed "
+        "one — interleave two kg_leg invocations with different --repo to "
+        "A/B code versions under identical ambient load (how the round-4 "
+        "'tripwire fired on environment, not code' finding was established)",
+    )
     args = ap.parse_args()
 
     import os
 
+    if args.repo:
+        sys.path.insert(0, args.repo)
     os.environ.setdefault("SPARK_DRIVER_MEM", "8g")
     from folkscope_spark.pipeline import run_pipeline
     from folkscope_spark.session import get_spark
@@ -36,11 +50,12 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("OFF")
 
+    dedupe = args.config == "prod"
     # warmup: Python-worker startup / imports / JIT (one-time executor costs)
     run_pipeline(
         spark, out_dir=None, n_pages=args.warmup_pages, n_items=60,
         with_concepts=True, with_canonicalize=True, max_extra=1,
-        dedupe_parse=False,
+        dedupe_parse=dedupe,
     )["triples"].count()
     spark.catalog.clearCache()
 
@@ -49,17 +64,23 @@ def main() -> None:
         spark, out_dir=None, n_pages=args.pages,
         n_items=max(50, args.pages // 17),
         with_concepts=True, with_canonicalize=True, max_extra=2,
-        dedupe_parse=False,
+        dedupe_parse=dedupe,
     )
     r["triples"].count()
     wall = time.time() - t0
-    print(json.dumps({
+    out = {
         "master": args.master,
+        "config": args.config,
+        "repo": args.repo,
         "pages": args.pages,
         "wall_s": round(wall, 2),
         "docs_per_sec": round(args.pages / wall, 2),
         "stages": r["stages"],
-    }))
+    }
+    kt = r.get("kernel_timers")
+    if kt is not None:
+        out["kernel_cpu_s"] = kt.seconds()
+    print(json.dumps(out))
     spark.stop()
 
 
