@@ -60,6 +60,11 @@ SKIP_SCALING = os.environ.get("BENCH_SKIP_SCALING", "") == "1"
 # whole-corpus conceptualized_text pass unconditionally; the graft keeps it
 # opt-in — this leg records what the pass costs, SURVEY.md §3.4)
 CONCEPT_TEXT_PAGES = int(os.environ.get("BENCH_CONCEPT_TEXT_PAGES", "25000"))
+# wall budget: the secondary 8->32 pairing is skipped (and marked so in the
+# JSON) once total bench wall exceeds this — on a badly loaded window the
+# legs run 2-3x slow, and losing the secondary pairing beats a harness
+# timeout losing the whole JSON.  The authoritative 4->16 pairing always runs.
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "4200"))
 TRIPWIRE_FACTOR = float(os.environ.get("BENCH_TRIPWIRE_FACTOR", "2.0"))
 
 HEADLINE = [
@@ -309,6 +314,14 @@ def main():
         # core of a host with ~8 cores of external load, so this pairing
         # reads the tenancy as inefficiency; it ships with its own measured
         # pure-CPU ceiling so the gap is attributable (VERDICT r3 next #3).
+        if time.time() - t_total0 > BUDGET_S:
+            kg["pairing_8_32"] = "skipped_for_budget"
+            print(
+                f"BENCH BUDGET: {round(time.time() - t_total0)}s elapsed > "
+                f"{BUDGET_S}s — skipping the secondary 8->32 pairing",
+                file=sys.stderr,
+            )
+            return _emit(t_total0, queries, kg, sf)
         t_n8, n8_stages = run_kg("local[8]", 24, SCALE_PAGES, dedupe=False)
         t_n32, n32_stages = run_kg("local[32]", 96, SCALE_PAGES, dedupe=False)
         eff832 = (t_n8 / t_n32) / 4.0
@@ -325,6 +338,10 @@ def main():
             }
         )
 
+    return _emit(t_total0, queries, kg, sf)
+
+
+def _emit(t_total0, queries, kg, sf):
     total = round(time.time() - t_total0, 3)
     print(
         json.dumps(
