@@ -213,11 +213,13 @@ def run_kg(
         r["triples"].count()
         stages = dict(r["stages"])
         stages["final_count"] = round(time.time() - t_fin, 3)
-        # kernel CPU-seconds (summed across cores) per Python-kernel stage:
-        # stage_wall - kernel_cpu/n_cores = framework (Arrow/shuffle/schedule)
-        # overhead, the split the scaling attribution needs
+        # per-Python-kernel-stage in-kernel seconds, summed across cores:
+        # wall (perf_counter) vs cputime (process_time) — wall >> cputime is
+        # CPU steal, cputime growing with parallelism is memory-system
+        # contention; stage_wall - kernel_wall/n_cores is framework overhead
         for k, v in r["kernel_timers"].seconds().items():
-            stages[f"{k}_kernel_cpu_s"] = v
+            stages[f"{k}_kernel_wall_s"] = v["wall"]
+            stages[f"{k}_kernel_cputime_s"] = v["cpu"]
         if r.get("concept_text") is not None:
             # the storeless stage is cache-lazy: its recorded stage time is
             # plan construction only — force it and record the real cost

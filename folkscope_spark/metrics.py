@@ -3,12 +3,15 @@
 The three expensive ``mapInPandas`` stages (parse, match, conceptualize) are
 opaque to Spark's own metrics: the stage wall conflates pure-Python compute
 with framework cost (Arrow decode/encode, shuffle, scheduling, cache
-materialization).  A :class:`KernelTimers` hands each kernel a Spark
-accumulator; the kernel adds its per-batch compute seconds (measured after
-the batch is decoded, before it is re-encoded), so after the stage's action
-completes ``timers.seconds()`` reports **summed CPU-seconds across all
-cores**.  ``wall - kernel_cpu / n_cores`` is then the stage's framework
-overhead — the number the scaling-efficiency attribution needs per stage.
+materialization).  A :class:`KernelTimers` hands each kernel a
+:class:`StageTimer` (a wall + CPU accumulator pair); the kernel adds its
+per-batch compute seconds (measured after the batch is decoded, before it is
+re-encoded), so after the stage's action completes ``timers.seconds()``
+reports **summed in-kernel seconds across all cores**, wall and cputime.
+``stage_wall - kernel_wall / n_cores`` is the stage's framework overhead;
+the wall/cputime divergence separates CPU steal from memory-system
+contention (see :class:`StageTimer`) — the numbers the scaling-efficiency
+attribution needs per stage.
 
 Caveat: an accumulator sums every execution, so a recomputed (cache-evicted)
 stage double-counts.  The pipeline caches both kernel stages before their
@@ -22,30 +25,52 @@ import time
 from contextlib import contextmanager
 
 
-class KernelTimers:
-    """Named float accumulators, one per kernel stage."""
+class StageTimer:
+    """Wall + CPU accumulator pair for one kernel stage.
+
+    ``wall`` (perf_counter) counts everything the worker experiences inside
+    the batch — including involuntary preemption when the host oversubscribes.
+    ``cpu`` (process_time) counts only cycles the worker actually ran —
+    memory-stall cycles included, preemption excluded.  Their divergence
+    separates the two contention mechanisms: wall >> cpu → CPU steal
+    (co-tenant/oversubscription); cpu itself rising with parallelism →
+    memory-system contention (stalled cycles still burn CPU time)."""
 
     def __init__(self, spark):
-        self._acc = {
-            name: spark.sparkContext.accumulator(0.0)
+        self.wall = spark.sparkContext.accumulator(0.0)
+        self.cpu = spark.sparkContext.accumulator(0.0)
+
+
+class KernelTimers:
+    """Named StageTimer per Python-kernel stage."""
+
+    def __init__(self, spark):
+        self._t = {
+            name: StageTimer(spark)
             for name in ("parse", "match", "conceptualize", "concept_text")
         }
 
-    def __getitem__(self, name):
-        return self._acc[name]
+    def __getitem__(self, name) -> StageTimer:
+        return self._t[name]
 
-    def seconds(self) -> dict[str, float]:
-        return {k: round(v.value, 3) for k, v in self._acc.items() if v.value > 0}
+    def seconds(self) -> dict[str, dict[str, float]]:
+        return {
+            k: {"wall": round(t.wall.value, 3), "cpu": round(t.cpu.value, 3)}
+            for k, t in self._t.items()
+            if t.wall.value > 0
+        }
 
 
 @contextmanager
-def batch_timer(acc):
-    """Time one decoded batch's compute; no-op when ``acc`` is None."""
-    if acc is None:
+def batch_timer(timer: StageTimer | None):
+    """Time one decoded batch's compute; no-op when ``timer`` is None."""
+    if timer is None:
         yield
         return
     t0 = time.perf_counter()
+    c0 = time.process_time()
     try:
         yield
     finally:
-        acc.add(time.perf_counter() - t0)
+        timer.cpu.add(time.process_time() - c0)
+        timer.wall.add(time.perf_counter() - t0)

@@ -76,9 +76,10 @@ def run_pipeline(
     instead of snapshot-committed (fast smoke/test mode, no resume)."""
     store = SnapshotStore(out_dir) if out_dir else None
     timings: dict[str, float] = {}
-    # per-kernel CPU-second accumulators: after the run, result["kernel_timers"]
-    # .seconds() splits each Python-kernel stage's wall into kernel compute
-    # (summed across cores) vs framework (Arrow/shuffle/schedule) overhead
+    # per-kernel wall/cputime accumulators: after the run,
+    # result["kernel_timers"].seconds() splits each Python-kernel stage's wall
+    # into in-kernel compute (summed across cores, wall + process_time) vs
+    # framework (Arrow/shuffle/schedule) overhead
     kernel_timers = KernelTimers(spark)
     fp = (f"v1:n_pages={n_pages}:n_items={n_items}:minp={min_plausibility}"
           f":extra={max_extra}:dedupe={dedupe_parse}:dense={dense_tails}"

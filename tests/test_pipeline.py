@@ -69,13 +69,14 @@ def test_kernel_timers_attribute_python_compute(result):
     the bench ships (metrics.KernelTimers)."""
     result["concept_triples"].count()  # force the conceptualize kernel
     sec = result["kernel_timers"].seconds()
-    assert sec.get("parse", 0) > 0
-    assert sec.get("match", 0) > 0
-    assert sec.get("conceptualize", 0) > 0
-    # kernel CPU cannot exceed stage wall x worker cores (8) by any margin
+    for stage in ("parse", "match", "conceptualize"):
+        assert sec.get(stage, {}).get("wall", 0) > 0
+        # process_time can't exceed in-kernel wall (modulo rounding)
+        assert sec[stage]["cpu"] <= sec[stage]["wall"] + 0.01
+    # kernel wall cannot exceed stage wall x worker cores (8) by any margin
     # that survives rounding; catches accidentally timing suspended (Arrow)
     # generator time
-    assert sec["parse"] <= max(result["stages"]["parse"], 1.0) * 8 * 1.5
+    assert sec["parse"]["wall"] <= max(result["stages"]["parse"], 1.0) * 8 * 1.5
 
 
 def test_threshold_variants_nest(result):

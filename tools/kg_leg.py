@@ -79,7 +79,7 @@ def main() -> None:
     }
     kt = r.get("kernel_timers")
     if kt is not None:
-        out["kernel_cpu_s"] = kt.seconds()
+        out["kernel_seconds"] = kt.seconds()
     print(json.dumps(out))
     spark.stop()
 
