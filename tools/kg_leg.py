@@ -39,6 +39,9 @@ def main() -> None:
 
     if args.repo:
         sys.path.insert(0, args.repo)
+    else:
+        # runnable as `python tools/kg_leg.py` without PYTHONPATH
+        sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     os.environ.setdefault("SPARK_DRIVER_MEM", "8g")
     from folkscope_spark.pipeline import run_pipeline
     from folkscope_spark.session import get_spark
