@@ -1,9 +1,10 @@
 """Benchmark harness: headline queries + KG pipeline throughput + scaling.
 
-Prints ONE JSON line:
-  {"metric": "...", "value": <total_sec>, "unit": "sec",
-   "queries": {...per-query sec...}, "sf": ...,
-   "kg": {...throughput + scaling evidence...}}
+Emits the cumulative result JSON **after every completed leg** (one line to
+stdout each time, newest last, plus ``BENCH_PROGRESS.json`` rewritten in the
+repo dir).  A harness timeout therefore degrades the bench to fewer legs —
+never to nothing (round 4 lost every metric to an rc=124; VERDICT r4 #1).
+All intermediate emissions carry ``"partial": true``; the final one does not.
 
 Two KG measurements (north_rule):
 
@@ -17,8 +18,7 @@ Two KG measurements (north_rule):
   is the faithful stand-in.  TWO pairings are measured each run:
 
   - **4->16 (authoritative)**: both legs stay inside the host's free
-    capacity.  The host has 32 real cores (no SMT — the earlier "SMT
-    sibling" reading was retracted in round 3) but carries ~8 cores of
+    capacity.  The host has 32 real cores (no SMT) but carries ~8 cores of
     external co-tenant load; a 32-core leg therefore measures tenancy, not
     the plan.  The pure-CPU ceiling for each pairing is re-measured every
     run and shipped in the JSON so the claim is checkable per-window.
@@ -26,11 +26,21 @@ Two KG measurements (north_rule):
     ceiling and per-stage timings; expected to sit below the 4->16 number
     exactly by the measured host ceiling gap.
 
+Budget + load adaptation (VERDICT r4 #1): before each expensive leg the
+remaining wall budget is checked against a cost estimate extrapolated from
+the newest *complete* committed BENCH and the measured load factor of this
+window; a leg that does not fit is skipped and recorded in
+``kg.skipped_for_budget``.  When the throughput leg runs
+``REDUCE_SCALE_FACTOR``x slower than committed (a loaded window), the
+scaling legs drop to ``SCALE_PAGES_REDUCED`` pages and the JSON carries
+``"reduced_scale": true`` — reduced scale beats absent data.
+
 Stage-timing tripwire: the throughput leg's per-stage timings are compared
-against the latest committed ``BENCH_r*.json``; any stage slower than
+against the newest committed ``BENCH_r*.json`` **that actually carries
+stage timings** (a timed-out round like r04 publishes ``parsed: null`` and
+must not disarm the tripwire — VERDICT r4 #2); any stage slower than
 ``TRIPWIRE_FACTOR`` x its committed value is flagged in the JSON
-(``stage_regressions``) and on stderr — the r2 single-sample ambiguity can't
-recur silently.
+(``stage_regressions``) and on stderr.
 """
 
 from __future__ import annotations
@@ -55,17 +65,32 @@ KG_PAGES = int(os.environ.get("BENCH_KG_PAGES", "100000"))
 # a real cluster amortizes over far larger inputs; doubling the scaling-leg
 # input halves O's share of the ratio (VERDICT r2 #4)
 SCALE_PAGES = int(os.environ.get("BENCH_SCALE_PAGES", "100000"))
+# fallback scale for loaded windows: the ratio keeps its meaning (both legs
+# shrink identically), only the fixed-component share grows — flagged in JSON
+SCALE_PAGES_REDUCED = int(os.environ.get("BENCH_SCALE_PAGES_REDUCED", "25000"))
 SKIP_SCALING = os.environ.get("BENCH_SKIP_SCALING", "") == "1"
 # pages for the one-off concept_text-enabled leg (the reference runs the
 # whole-corpus conceptualized_text pass unconditionally; the graft keeps it
 # opt-in — this leg records what the pass costs, SURVEY.md §3.4)
 CONCEPT_TEXT_PAGES = int(os.environ.get("BENCH_CONCEPT_TEXT_PAGES", "25000"))
-# wall budget: the secondary 8->32 pairing is skipped (and marked so in the
-# JSON) once total bench wall exceeds this — on a badly loaded window the
-# legs run 2-3x slow, and losing the secondary pairing beats a harness
-# timeout losing the whole JSON.  The authoritative 4->16 pairing always runs.
-BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "4200"))
+# total wall budget: every expensive leg checks (elapsed + leg estimate)
+# against it and is skipped (recorded in kg.skipped_for_budget) if it does
+# not fit.  Conservative default: the r03 clean-window full run took 1806s;
+# r04's harness window was exhausted somewhere past ~4200s under 2.8x load.
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "2900"))
 TRIPWIRE_FACTOR = float(os.environ.get("BENCH_TRIPWIRE_FACTOR", "2.0"))
+# throughput leg slower than this x committed => loaded window => reduce the
+# scaling-leg input (the n4 leg at 100k pages measured ~915s under r4's load)
+REDUCE_SCALE_FACTOR = float(os.environ.get("BENCH_REDUCE_SCALE_FACTOR", "1.6"))
+# synthetic noise rows added to the Probase dimension for the relational-tier
+# leg: past PROBASE_BROADCAST_CUTOFF so the leg prices the real join plan
+RELATIONAL_PROBASE_NOISE = int(
+    os.environ.get("BENCH_RELATIONAL_PROBASE_NOISE", "5000000")
+)
+
+PROGRESS_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "BENCH_PROGRESS.json"
+)
 
 HEADLINE = [
     "a1_signature_count",
@@ -153,42 +178,83 @@ def stage_regressions(
     return out
 
 
-def latest_committed_stages(repo_dir: str | None = None) -> dict[str, float]:
-    """stage_timings of the newest committed BENCH_r*.json (empty if none)."""
+def latest_committed_kg(repo_dir: str | None = None) -> dict:
+    """``kg`` section of the newest committed BENCH_r*.json **that carries
+    stage timings** (empty dict if none).
+
+    A timed-out round publishes ``{"parsed": null}`` (r04 did); taking the
+    newest file unconditionally would return ``{}`` and silently disarm the
+    tripwire for the following round (VERDICT r4 #2) — walk newest-first and
+    skip any file whose ``kg.stage_timings`` is empty or absent."""
     import glob
     import re
 
     repo_dir = repo_dir or os.path.dirname(os.path.abspath(__file__))
-    best, best_n = None, -1
+    rounds = []
     for p in glob.glob(os.path.join(repo_dir, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", p)
-        if m and int(m.group(1)) > best_n:
-            best, best_n = p, int(m.group(1))
-    if best is None:
-        return {}
-    try:
-        with open(best) as f:
-            d = json.load(f)
-        # the driver wraps bench stdout under "parsed"; accept both shapes
-        d = d.get("parsed", d) or {}
-        return dict(d.get("kg", {}).get("stage_timings", {}))
-    except Exception:
-        return {}
+        if m:
+            rounds.append((int(m.group(1)), p))
+    for _, p in sorted(rounds, reverse=True):
+        try:
+            with open(p) as f:
+                d = json.load(f)
+            # the driver wraps bench stdout under "parsed"; accept both shapes
+            d = d.get("parsed", d) or {}
+            kg = dict(d.get("kg", {}))
+        except Exception:
+            continue
+        if kg.get("stage_timings"):
+            return kg
+    return {}
+
+
+def latest_committed_stages(repo_dir: str | None = None) -> dict[str, float]:
+    """stage_timings of the newest *complete* committed BENCH_r*.json."""
+    return dict(latest_committed_kg(repo_dir).get("stage_timings", {}))
+
+
+def _inflated_probase(spark, n_noise: int):
+    """The synthetic Probase plus ``n_noise`` generated single-token rows
+    whose instances can never match a corpus n-gram ("zzqx<i>") — identical
+    conceptualization output, but the dimension is genuinely past the
+    broadcast cutoff, so the relational-tier leg prices the real distributed
+    top-K join instead of an AQE-downgraded broadcast of a toy table."""
+    from pyspark.sql import functions as F
+
+    from folkscope_spark.synthetic import probase_df
+
+    base = probase_df(spark)
+    noise = spark.range(n_noise).select(
+        F.concat(F.lit("zzqx"), F.col("id").cast("string")).alias("instance"),
+        F.concat(F.lit("zzqxconcept"), (F.col("id") % 1000).cast("string")).alias(
+            "concept"
+        ),
+        (F.lit(1.0) + (F.col("id") % 7).cast("double")).alias("frequency"),
+    )
+    return base.unionByName(noise.select(*base.columns))
 
 
 def run_kg(
     master: str, shuffle: int, pages: int, dedupe: bool, repeats: int = 1,
+    deadline: float | None = None, probase_noise: int = 0,
     **pipeline_kw,
 ) -> tuple[float, dict[str, float]]:
     """(wall seconds, per-stage timings) for the KG pipeline; a warmup run
     first pays Python-worker startup / imports / JIT (one-time executor costs
     on a real cluster).  ``repeats > 1`` takes the min-wall run — steady-state
     timing on a host with bursty co-tenant load (long-lived executors run
-    steady-state).  The stage timings come from the min-wall run, so any
-    slowdown vs a previous bench is attributable to a stage."""
+    steady-state); extra repeats are dropped once ``deadline`` (epoch
+    seconds) has passed.  The stage timings come from the min-wall run, so
+    any slowdown vs a previous bench is attributable to a stage."""
     from folkscope_spark.pipeline import run_pipeline
 
     spark = _fresh_session(master, shuffle)
+    if probase_noise:
+        pipeline_kw = dict(pipeline_kw)
+        pipeline_kw["probase"] = _inflated_probase(spark, probase_noise)
+        # known size (noise + base rows upper bound): skip the limit-probe
+        pipeline_kw["probase_rows"] = probase_noise + 1000
     run_pipeline(
         spark, out_dir=None, n_pages=300, n_items=60,
         with_concepts=True, with_canonicalize=True, max_extra=1,
@@ -196,7 +262,14 @@ def run_kg(
     )["triples"].count()
 
     walls, stage_runs = [], []
-    for _ in range(repeats):
+    for i in range(repeats):
+        if i > 0 and deadline is not None and time.time() > deadline:
+            print(
+                f"BENCH BUDGET: dropping repeat {i + 1}/{repeats} of "
+                f"{master}/{pages}p (past deadline)",
+                file=sys.stderr,
+            )
+            break
         t0 = time.time()
         r = run_pipeline(
             spark,
@@ -213,19 +286,22 @@ def run_kg(
         r["triples"].count()
         stages = dict(r["stages"])
         stages["final_count"] = round(time.time() - t_fin, 3)
-        # per-Python-kernel-stage in-kernel seconds, summed across cores:
-        # wall (perf_counter) vs cputime (process_time) — wall >> cputime is
-        # CPU steal, cputime growing with parallelism is memory-system
-        # contention; stage_wall - kernel_wall/n_cores is framework overhead
-        for k, v in r["kernel_timers"].seconds().items():
-            stages[f"{k}_kernel_wall_s"] = v["wall"]
-            stages[f"{k}_kernel_cputime_s"] = v["cpu"]
         if r.get("concept_text") is not None:
             # the storeless stage is cache-lazy: its recorded stage time is
             # plan construction only — force it and record the real cost
             t_ct = time.time()
             r["concept_text"].count()
             stages["concept_text_materialize"] = round(time.time() - t_ct, 3)
+        # per-Python-kernel-stage in-kernel seconds, summed across cores:
+        # wall (perf_counter) vs cputime (process_time) — wall >> cputime is
+        # CPU steal, cputime growing with parallelism is memory-system
+        # contention; stage_wall - kernel_wall/n_cores is framework overhead.
+        # Read strictly after every kernel stage was forced (the concept_text
+        # materialization above runs its kernel — reading earlier shipped
+        # zero accumulators for it, ADVICE r4)
+        for k, v in r["kernel_timers"].seconds().items():
+            stages[f"{k}_kernel_wall_s"] = v["wall"]
+            stages[f"{k}_kernel_cputime_s"] = v["cpu"]
         walls.append(time.time() - t0)
         stage_runs.append(stages)
         spark.catalog.clearCache()
@@ -234,43 +310,200 @@ def run_kg(
     return walls[best], stage_runs[best]
 
 
+class _Emitter:
+    """Cumulative result emission: one JSON line per completed leg (newest
+    last — a timeout loses at most the in-flight leg) + a progress file."""
+
+    def __init__(self, sf: str):
+        self.t0 = time.time()
+        self.queries: dict[str, float] = {}
+        self.kg: dict = {}
+        self.legs: list[str] = []
+        self.sf = sf
+
+    def elapsed(self) -> float:
+        return time.time() - self.t0
+
+    def emit(self, leg: str, final: bool = False) -> None:
+        if leg:
+            self.legs.append(leg)
+        doc = {
+            "metric": "headline_queries_plus_kg_wall",
+            "value": round(self.elapsed(), 3),
+            "unit": "sec",
+            "queries": self.queries,
+            "sf": float(self.sf) if self.sf.replace(".", "").isdigit() else self.sf,
+            "kg": self.kg,
+            "legs_completed": list(self.legs),
+        }
+        if not final:
+            doc["partial"] = True
+        line = json.dumps(doc)
+        print(line, flush=True)
+        try:
+            with open(PROGRESS_PATH + ".tmp", "w") as f:
+                f.write(line + "\n")
+            os.replace(PROGRESS_PATH + ".tmp", PROGRESS_PATH)
+        except OSError:
+            pass
+
+    def fits(self, leg: str, est_s: float) -> bool:
+        """True when ``est_s`` more seconds fit in the budget; otherwise the
+        skip is recorded + emitted so the decision is visible in the JSON."""
+        if self.elapsed() + est_s <= BUDGET_S:
+            return True
+        self.kg.setdefault("skipped_for_budget", []).append(
+            {"leg": leg, "estimate_s": round(est_s, 1)}
+        )
+        print(
+            f"BENCH BUDGET: skipping {leg} (elapsed {round(self.elapsed())}s "
+            f"+ est {round(est_s)}s > budget {BUDGET_S}s)",
+            file=sys.stderr,
+        )
+        self.emit(f"skip:{leg}")
+        return False
+
+
 def main():
     sf = SF_DIR.rstrip("/").split("sf")[-1]
-    t_total0 = time.time()
+    em = _Emitter(sf)
+    committed = latest_committed_kg()
 
     spark = _fresh_session(f"local[{CPUS}]", 2 * CPUS)
-    queries = run_queries(spark)
+    em.queries.update(run_queries(spark))
     spark.stop()
+    em.emit("headline_queries")
 
-    kg = {}
-    if not SKIP_SCALING:
-        # headline throughput: production config, full parallelism.
-        # min-of-2 inside one session (VERDICT r2 #1: a single sample on a
-        # co-tenant host is not evidence); per-stage timings of the best run
-        # ship in the JSON so any slowdown is attributable to a stage.
-        # 3x shuffle partitions per core: one task per core exposes the
-        # per-sentence cost variance of the Python kernels (VF2 match) as
-        # stragglers — measured at n16/50k: match 69s -> 40s, wall -26%
-        t_prod, prod_stages = run_kg(
-            f"local[{CPUS}]", 3 * CPUS, KG_PAGES, dedupe=True, repeats=2
+    if SKIP_SCALING:
+        return em.emit("", final=True)
+    kg = em.kg
+    deadline = em.t0 + BUDGET_S
+
+    # -- headline throughput: production config, full parallelism -------------
+    # min-of-2 inside one session (VERDICT r2 #1: a single sample on a
+    # co-tenant host is not evidence); per-stage timings of the best run
+    # ship in the JSON so any slowdown is attributable to a stage.
+    # 3x shuffle partitions per core: one task per core exposes the
+    # per-sentence cost variance of the Python kernels (VF2 match) as
+    # stragglers — measured at n16/50k: match 69s -> 40s, wall -26%
+    t_prod, prod_stages = run_kg(
+        f"local[{CPUS}]", 3 * CPUS, KG_PAGES, dedupe=True, repeats=2,
+        deadline=deadline,
+    )
+    kg["throughput_pages"] = KG_PAGES
+    kg["throughput_wall_s"] = round(t_prod, 2)
+    kg["docs_per_sec"] = round(KG_PAGES / t_prod, 2)
+    kg["stage_timings"] = prod_stages
+    em.queries["kg_pipeline"] = round(t_prod, 3)
+
+    # tripwire vs the newest *complete* committed BENCH (see
+    # latest_committed_kg) — any stage > TRIPWIRE_FACTOR x committed is an
+    # explicit signal, not a silent degradation
+    regress = stage_regressions(prod_stages, dict(committed.get("stage_timings", {})))
+    kg["stage_regressions"] = regress
+    if regress:
+        print(f"BENCH TRIPWIRE: stage slowdown vs committed: {regress}",
+              file=sys.stderr)
+
+    # load factor of this window: this run's throughput wall vs committed.
+    # Drives both the leg cost estimates and the reduced-scale decision.
+    base_prod = float(committed.get("throughput_wall_s") or 41.0)
+    base_prod_scaled = base_prod * KG_PAGES / float(
+        committed.get("throughput_pages") or KG_PAGES
+    )
+    load = max(1.0, t_prod / base_prod_scaled)
+    kg["window_load_factor"] = round(load, 2)
+    em.emit("throughput")
+
+    # -- relational-Probase tier (the 100 TB conceptualization path) ----------
+    # Same corpus + pages as the throughput leg, Probase inflated past
+    # PROBASE_BROADCAST_CUTOFF and probase_mode forced, so the two extra
+    # shuffles of conceptualize.concept_minimaps are priced against the
+    # broadcast-tier stage timings above (VERDICT r4 missing #2 / next #3).
+    if em.fits("probase_relational", est_s=3.0 * t_prod + 90.0):
+        t_rel, rel_stages = run_kg(
+            f"local[{CPUS}]", 3 * CPUS, KG_PAGES, dedupe=True,
+            probase_noise=RELATIONAL_PROBASE_NOISE, probase_mode="relational",
         )
-        kg["throughput_pages"] = KG_PAGES
-        kg["throughput_wall_s"] = round(t_prod, 2)
-        kg["docs_per_sec"] = round(KG_PAGES / t_prod, 2)
-        kg["stage_timings"] = prod_stages
-        queries["kg_pipeline"] = round(t_prod, 3)
+        kg["probase_relational_leg"] = {
+            "pages": KG_PAGES,
+            "probase_rows": RELATIONAL_PROBASE_NOISE,
+            "wall_s": round(t_rel, 2),
+            "docs_per_sec": round(KG_PAGES / t_rel, 2),
+            "stage_timings": rel_stages,
+            "vs_broadcast_wall_s": round(t_rel - t_prod, 2),
+            "vs_broadcast_concept_stages_s": round(
+                (rel_stages.get("conceptualize", 0) or 0)
+                + (rel_stages.get("concept_triples", 0) or 0)
+                - (prod_stages.get("conceptualize", 0) or 0)
+                - (prod_stages.get("concept_triples", 0) or 0),
+                2,
+            ),
+        }
+        em.emit("probase_relational")
 
-        # tripwire: any stage > TRIPWIRE_FACTOR x its last committed value is
-        # flagged — the r2 "is 230s a regression or a bad sample?" ambiguity
-        # becomes an explicit signal (VERDICT r3 next #5)
-        regress = stage_regressions(prod_stages, latest_committed_stages())
-        kg["stage_regressions"] = regress
-        if regress:
-            print(f"BENCH TRIPWIRE: stage slowdown vs committed: {regress}",
-                  file=sys.stderr)
+    # -- scaling: same job, N=4 vs 4N=16 cores, CPU-bound (parity) config -----
+    # Legs are interleaved (4,16,4,16) so minute-scale co-tenant load swings
+    # on this shared host hit both sides of the ratio equally; min-of-2 per
+    # side takes the steady-state sample.  On a loaded window the legs drop
+    # to SCALE_PAGES_REDUCED (the ratio keeps its meaning; the fixed
+    # component's share grows — flagged) — reduced scale beats absent data.
+    scale_pages = SCALE_PAGES
+    if load >= REDUCE_SCALE_FACTOR or regress:
+        scale_pages = min(SCALE_PAGES, SCALE_PAGES_REDUCED)
+        kg["reduced_scale"] = True
+        print(
+            f"BENCH LOAD: window load factor {round(load, 2)} / tripwire "
+            f"{bool(regress)} — scaling legs reduced to {scale_pages} pages",
+            file=sys.stderr,
+        )
+    base_n4 = float(committed.get("wall_n4_s") or 590.0)
+    base_n16 = float(committed.get("wall_n16_s") or 185.0)
+    base_scale_pages = float(committed.get("scale_pages") or 100000)
+    est_n4 = base_n4 * load * scale_pages / base_scale_pages + 60.0
+    est_n16 = base_n16 * load * scale_pages / base_scale_pages + 60.0
 
-        # one concept_text-enabled run: the cost of defaulting the reference's
-        # whole-corpus conceptualized_text pass on (SURVEY.md §3.4 decision)
+    lo_runs, hi_runs = [], []
+    for i in range(2):
+        # the first (n4, n16) pair is the scaling number's existence; the
+        # second pair only tightens it — each leg is budget-gated separately
+        if not em.fits(f"scaling_n4_run{i + 1}", est_n4):
+            break
+        lo_runs.append(run_kg("local[4]", 12, scale_pages, dedupe=False))
+        em.emit(f"scaling_n4_run{i + 1}")
+        if not em.fits(f"scaling_n16_run{i + 1}", est_n16):
+            break
+        hi_runs.append(run_kg("local[16]", 48, scale_pages, dedupe=False))
+        em.emit(f"scaling_n16_run{i + 1}")
+        if lo_runs and hi_runs:
+            (t_lo, lo_stages) = min(lo_runs, key=lambda x: x[0])
+            (t_hi, hi_stages) = min(hi_runs, key=lambda x: x[0])
+            eff = (t_lo / t_hi) / 4.0
+            kg.update(
+                {
+                    "scale_pages": scale_pages,
+                    "scale_runs_per_side": len(hi_runs),
+                    "wall_n4_s": round(t_lo, 2),
+                    "wall_n16_s": round(t_hi, 2),
+                    "docs_per_sec_n4": round(scale_pages / t_lo, 2),
+                    "docs_per_sec_n16": round(scale_pages / t_hi, 2),
+                    "scaling_efficiency": round(eff, 3),
+                    "stage_timings_n4": lo_stages,
+                    "stage_timings_n16": hi_stages,
+                }
+            )
+            if "host_cpu_ceiling_efficiency" not in kg:
+                ceiling = cpu_ceiling(4, 16) / 4.0
+                kg["host_cpu_ceiling_efficiency"] = round(ceiling, 3)
+            kg["scaling_efficiency_vs_ceiling"] = round(
+                kg["scaling_efficiency"] / kg["host_cpu_ceiling_efficiency"], 3
+            )
+            em.emit(f"scaling_pair{i + 1}")
+
+    # -- one concept_text-enabled run: the cost of defaulting the reference's
+    # whole-corpus conceptualized_text pass on (SURVEY.md §3.4 decision) ------
+    est_ct = 3.0 * t_prod * CONCEPT_TEXT_PAGES / KG_PAGES + 90.0
+    if em.fits("concept_text", est_ct):
         t_ct, ct_stages = run_kg(
             f"local[{CPUS}]", 3 * CPUS, CONCEPT_TEXT_PAGES, dedupe=True,
             with_concept_text=True,
@@ -281,82 +514,37 @@ def main():
             "concept_text_stage_s": ct_stages.get("concept_text_materialize"),
             "stage_timings": ct_stages,
         }
+        em.emit("concept_text")
 
-        # scaling: same job, N=4 vs 4N=16 cores, CPU-bound (parity) config.
-        # Legs are interleaved (4,16,4,16) so minute-scale co-tenant load
-        # swings on this shared host hit both sides of the ratio equally;
-        # min-of-2 per side takes the steady-state sample.
-        lo_runs, hi_runs = [], []
-        for _ in range(2):
-            lo_runs.append(run_kg("local[4]", 12, SCALE_PAGES, dedupe=False))
-            hi_runs.append(run_kg("local[16]", 48, SCALE_PAGES, dedupe=False))
-        (t_lo, lo_stages), (t_hi, hi_stages) = (
-            min(lo_runs, key=lambda x: x[0]),
-            min(hi_runs, key=lambda x: x[0]),
-        )
-        eff = (t_lo / t_hi) / 4.0
-        ceiling = cpu_ceiling(4, 16) / 4.0
-        kg.update(
-            {
-                "scale_pages": SCALE_PAGES,
-                "wall_n4_s": round(t_lo, 2),
-                "wall_n16_s": round(t_hi, 2),
-                "docs_per_sec_n4": round(SCALE_PAGES / t_lo, 2),
-                "docs_per_sec_n16": round(SCALE_PAGES / t_hi, 2),
-                "scaling_efficiency": round(eff, 3),
-                "host_cpu_ceiling_efficiency": round(ceiling, 3),
-                "scaling_efficiency_vs_ceiling": round(eff / ceiling, 3),
-                "stage_timings_n4": lo_stages,
-                "stage_timings_n16": hi_stages,
-            }
-        )
-
-        # BASELINE.md's stated config (local[8] vs local[32]) — one
-        # interleaved leg pair + its own ceiling.  The hi leg asks for every
-        # core of a host with ~8 cores of external load, so this pairing
-        # reads the tenancy as inefficiency; it ships with its own measured
-        # pure-CPU ceiling so the gap is attributable (VERDICT r3 next #3).
-        if time.time() - t_total0 > BUDGET_S:
-            kg["pairing_8_32"] = "skipped_for_budget"
-            print(
-                f"BENCH BUDGET: {round(time.time() - t_total0)}s elapsed > "
-                f"{BUDGET_S}s — skipping the secondary 8->32 pairing",
-                file=sys.stderr,
+    # -- BASELINE.md's stated config (local[8] vs local[32]) ------------------
+    # One interleaved leg pair + its own ceiling.  The hi leg asks for every
+    # core of a host with ~8 cores of external load, so this pairing reads
+    # the tenancy as inefficiency; it ships with its own measured pure-CPU
+    # ceiling so the gap is attributable (VERDICT r3 next #3).
+    est_832 = (0.55 * est_n4 + 1.2 * est_n16)
+    if em.fits("pairing_8_32", est_832):
+        t_n8, n8_stages = run_kg("local[8]", 24, scale_pages, dedupe=False)
+        em.emit("scaling_n8")
+        if em.fits("scaling_n32", est_n16 * 1.2):
+            t_n32, n32_stages = run_kg("local[32]", 96, scale_pages, dedupe=False)
+            eff832 = (t_n8 / t_n32) / 4.0
+            ceiling832 = cpu_ceiling(8, 32) / 4.0
+            kg.update(
+                {
+                    "wall_n8_s": round(t_n8, 2),
+                    "wall_n32_s": round(t_n32, 2),
+                    "scaling_efficiency_8_32": round(eff832, 3),
+                    "host_cpu_ceiling_efficiency_8_32": round(ceiling832, 3),
+                    "scaling_efficiency_8_32_vs_ceiling": round(
+                        eff832 / ceiling832, 3
+                    ),
+                    "stage_timings_n8": n8_stages,
+                    "stage_timings_n32": n32_stages,
+                }
             )
-            return _emit(t_total0, queries, kg, sf)
-        t_n8, n8_stages = run_kg("local[8]", 24, SCALE_PAGES, dedupe=False)
-        t_n32, n32_stages = run_kg("local[32]", 96, SCALE_PAGES, dedupe=False)
-        eff832 = (t_n8 / t_n32) / 4.0
-        ceiling832 = cpu_ceiling(8, 32) / 4.0
-        kg.update(
-            {
-                "wall_n8_s": round(t_n8, 2),
-                "wall_n32_s": round(t_n32, 2),
-                "scaling_efficiency_8_32": round(eff832, 3),
-                "host_cpu_ceiling_efficiency_8_32": round(ceiling832, 3),
-                "scaling_efficiency_8_32_vs_ceiling": round(eff832 / ceiling832, 3),
-                "stage_timings_n8": n8_stages,
-                "stage_timings_n32": n32_stages,
-            }
-        )
+            em.emit("scaling_n32")
 
-    return _emit(t_total0, queries, kg, sf)
-
-
-def _emit(t_total0, queries, kg, sf):
-    total = round(time.time() - t_total0, 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_plus_kg_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": queries,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "kg": kg,
-            }
-        )
-    )
+    return em.emit("", final=True)
 
 
 if __name__ == "__main__":
