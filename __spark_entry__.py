@@ -689,14 +689,30 @@ def q_fs_parse_light(spark, sf):  # parse_light deterministic parser
     )
 
 
+# committed-snapshot dir the fs_triples oracle reads back (wiped per call)
+_FS_TRIPLES_DIR = "/tmp/folkscope_contract/fs_triples_v1"
+
+
 def q_fs_triples(spark, sf):  # flagship pipeline at small scale
+    """Oracle-checked (VERDICT r4 #5): the pipeline commits its
+    ``event_triples_src`` and ``canon_map`` snapshots to parquet
+    (SnapshotStore versioned dirs), and the DuckDB twin replays
+    ``materialize.build_triples`` — left join + coalesce + max/count groupBy,
+    pure relational algebra — over those same files.  Scores are compared
+    unrounded: both engines read identical parquet doubles, and MAX is
+    exact, so the compare's own 6-decimal rounding is the only rounding.
+    The snapshot dir is wiped first so every check recomputes from code
+    (no stale-fingerprint resume can pin an old snapshot)."""
+    import shutil
+
     from folkscope_spark.pipeline import run_pipeline
 
+    shutil.rmtree(_FS_TRIPLES_DIR, ignore_errors=True)
     r = run_pipeline(
-        spark, out_dir=None, n_pages=120, n_items=40,
-        with_concepts=False, with_canonicalize=False, max_extra=1,
+        spark, out_dir=_FS_TRIPLES_DIR, n_pages=120, n_items=40,
+        with_concepts=False, with_canonicalize=True, max_extra=1,
     )
-    return r["triples"].select("subj", "pred", "obj", F.round("score", 4).alias("score"))
+    return r["triples"].select("subj", "pred", "obj", "score", "support")
 
 
 def q_fs_sentence_embed(spark, sf):  # J7 deterministic sentence embedding
@@ -1209,6 +1225,19 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT DISTINCT pred FROM t)) "
             "SELECT rel_id, COUNT(*)::BIGINT AS n FROM t JOIN rel USING (pred) "
             "GROUP BY rel_id"
+        ),
+        "fs_triples": (
+            "WITH src AS (SELECT * FROM read_parquet("
+            f"'{_FS_TRIPLES_DIR}/data/event_triples_src/*/*.parquet')), "
+            "cm AS (SELECT * FROM read_parquet("
+            f"'{_FS_TRIPLES_DIR}/data/canon_map/*/*.parquet')), "
+            "t AS (SELECT s.subj, s.relation AS pred, "
+            "COALESCE(c.canonical_text, s.obj_text) AS obj, "
+            "s.plausibility AS score "
+            "FROM src s LEFT JOIN cm c ON s.obj_text = c.text) "
+            "SELECT subj, pred, obj, MAX(score) AS score, "
+            "COUNT(*)::BIGINT AS support "
+            "FROM t GROUP BY subj, pred, obj"
         ),
         # remaining fs_* operators: non-SQL-expressible (Python-regex cleaner,
         # rule parser, graph matching, hash-kernel canonicalize/conceptualize,
