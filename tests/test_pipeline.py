@@ -73,10 +73,12 @@ def test_kernel_timers_attribute_python_compute(result):
         assert sec.get(stage, {}).get("wall", 0) > 0
         # process_time can't exceed in-kernel wall (modulo rounding)
         assert sec[stage]["cpu"] <= sec[stage]["wall"] + 0.01
-    # kernel wall cannot exceed stage wall x worker cores (8) by any margin
+    # kernel wall cannot exceed stage wall x worker cores by any margin
     # that survives rounding; catches accidentally timing suspended (Arrow)
-    # generator time
-    assert sec["parse"]["wall"] <= max(result["stages"]["parse"], 1.0) * 8 * 1.5
+    # generator time.  Core count comes from the live session, not a
+    # hardcoded fixture constant (ADVICE r4).
+    n_cores = result["parsed"].sparkSession.sparkContext.defaultParallelism
+    assert sec["parse"]["wall"] <= max(result["stages"]["parse"], 1.0) * n_cores * 1.5
 
 
 def test_threshold_variants_nest(result):
@@ -150,6 +152,41 @@ def test_versioned_commit_never_overwrites_a_scanned_path(spark, tmp_path):
     assert not os.path.exists(m1["path"])
     assert os.path.exists(os.path.join(m2["path"], "_SUCCESS"))
     assert {r["k"] for r in store.read(spark, "s").collect()} == set(range(15))
+
+
+def test_crash_orphan_versions_swept_on_next_commit(spark, tmp_path):
+    """VERDICT r4 wrong #3: a process that dies between the parquet write and
+    the manifest publish leaves a version dir no manifest references; the
+    next commit must sweep it (while keeping the live published version)
+    so crash loops cannot grow the stage dir unboundedly."""
+    import os
+
+    from folkscope_spark.snapshots import SnapshotStore
+
+    store = SnapshotStore(str(tmp_path / "okg"))
+    store.commit("s", spark.range(5).withColumnRenamed("id", "k"), "fp1")
+    live = store.manifest("s")["path"]
+
+    # simulate the crash leftover: data written, manifest never published
+    orphan = os.path.join(store.data_path("s"), "s-999")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-0.parquet"), "w") as f:
+        f.write("half-written")
+
+    committed = store.commit(
+        "s", spark.range(5, 9).withColumnRenamed("id", "k"), "fp2"
+    )
+    assert not os.path.exists(orphan)  # orphan swept
+    assert committed.count() == 4
+    assert os.path.exists(os.path.join(store.manifest("s")["path"], "_SUCCESS"))
+    assert not os.path.exists(live)  # superseded version GC'd as before
+
+    # crash-before-first-publish shape: orphan with no manifest at all
+    os.makedirs(os.path.join(store.data_path("t"), "t-1"))
+    store.commit("t", spark.range(3).withColumnRenamed("id", "k"), "fp1")
+    assert os.listdir(store.data_path("t")) == [
+        os.path.basename(store.manifest("t")["path"])
+    ]
 
 
 def test_connected_components_distributed_path(spark):

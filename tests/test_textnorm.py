@@ -19,7 +19,10 @@ def _reference_url_pattern() -> str:
     with warnings.catch_warnings():
         # the reference source itself contains non-raw '\]' escapes; the
         # warning belongs to that file, not to this suite
-        warnings.simplefilter("ignore", (DeprecationWarning, SyntaxWarning))
+        # two calls: simplefilter's documented contract is a single Warning
+        # subclass (the tuple form only works via an issubclass detail)
+        warnings.simplefilter("ignore", DeprecationWarning)
+        warnings.simplefilter("ignore", SyntaxWarning)
         tree = ast.parse(src)
     for node in ast.walk(tree):
         if isinstance(node, ast.Assign):

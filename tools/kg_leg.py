@@ -37,11 +37,22 @@ def main() -> None:
 
     import os
 
-    if args.repo:
-        sys.path.insert(0, args.repo)
-    else:
-        # runnable as `python tools/kg_leg.py` without PYTHONPATH
-        sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    # the driver's sys.path does not reach executor Python workers — they
+    # import folkscope_spark by name from their own path, so an A/B of two
+    # checkouts could silently run identical executor code in both legs
+    # (ADVICE r4), and a no---repo run from an arbitrary cwd could not import
+    # the package on workers at all.  Local-mode workers inherit the driver
+    # env, so PYTHONPATH (set before the JVM launches) is the channel — for
+    # the requested checkout and the default (this file's repo) alike.
+    repo_root = os.path.abspath(
+        args.repo
+        if args.repo
+        else os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    sys.path.insert(0, repo_root)
+    os.environ["PYTHONPATH"] = (
+        repo_root + os.pathsep + os.environ.get("PYTHONPATH", "")
+    )
     os.environ.setdefault("SPARK_DRIVER_MEM", "8g")
     from folkscope_spark.pipeline import run_pipeline
     from folkscope_spark.session import get_spark
@@ -52,6 +63,18 @@ def main() -> None:
         extra={"spark.ui.showConsoleProgress": "false"},
     )
     spark.sparkContext.setLogLevel("OFF")
+
+    # prove the executors run the requested checkout: a worker-side probe
+    # returns the module path executor Python actually imported
+    executor_module = (
+        spark.sparkContext.parallelize([0], 1)
+        .map(lambda _: __import__("folkscope_spark").__file__)
+        .collect()[0]
+    )
+    assert executor_module.startswith(repo_root + os.sep), (
+        f"executors import folkscope_spark from {executor_module}, "
+        f"not the requested checkout {repo_root} — A/B leg would be invalid"
+    )
 
     dedupe = args.config == "prod"
     # warmup: Python-worker startup / imports / JIT (one-time executor costs)
@@ -75,6 +98,7 @@ def main() -> None:
         "master": args.master,
         "config": args.config,
         "repo": args.repo,
+        "executor_module": executor_module,
         "pages": args.pages,
         "wall_s": round(wall, 2),
         "docs_per_sec": round(args.pages / wall, 2),
