@@ -69,6 +69,7 @@ def run_pipeline(
     probase: DataFrame | None = None,
     probase_rows: int | None = None,
     probase_mode: str = "auto",
+    start_index_mode: str = "tokens",
 ) -> dict:
     """Returns {"triples": DataFrame, "stages": {stage: seconds}, ...}.
 
@@ -83,7 +84,8 @@ def run_pipeline(
     kernel_timers = KernelTimers(spark)
     fp = (f"v1:n_pages={n_pages}:n_items={n_items}:minp={min_plausibility}"
           f":extra={max_extra}:dedupe={dedupe_parse}:dense={dense_tails}"
-          f":skip={','.join(sorted(skip_words)) if skip_words else ''}")
+          f":skip={','.join(sorted(skip_words)) if skip_words else ''}"
+          f":sidx={start_index_mode}")
 
     def timed(name, fn):
         t0 = time.time()
@@ -387,6 +389,7 @@ def run_pipeline(
                 fp,
                 lambda: conceptualize(
                     events, topk_map, topk_table=topk_table, max_gram_len=gram_len,
+                    start_index_mode=start_index_mode,
                     kernel_acc=kernel_timers["conceptualize"],
                 ),
             ),
@@ -430,6 +433,7 @@ def run_pipeline(
                     fp,
                     lambda: conceptualize_text(
                         parsed, topk_map, topk_table=topk_table, max_gram_len=gram_len,
+                        start_index_mode=start_index_mode,
                         kernel_acc=kernel_timers["concept_text"],
                     ),
                 ),
