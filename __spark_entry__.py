@@ -885,11 +885,20 @@ def q_fs_concept_text(spark, sf):  # whole-sentence conceptualized_text pass
 
 
 def q_fs_canonicalize(spark, sf):  # MinHash-LSH + CC over document texts
+    """Oracle-checked (VERDICT r4 missing #5): the DuckDB twin computes
+    all-pairs exact Jaccard >= threshold + connected components (recursive
+    CTE label propagation) + lexicographic-min canonical.  Cluster
+    membership on the Spark side is decided by the exact Jaccard verify —
+    LSH banding only proposes candidates — so the twin differs only where
+    banding *misses* a qualifying pair (p ~ 1.4% per pair at J=0.9 with
+    16 hashes / 4 bands); the hash match proves banding surfaced every
+    qualifying pair on this corpus.  Deterministic subset via doc_id (a
+    LIMIT would be engine-order-dependent)."""
     from folkscope_spark.canonicalize import canonicalize_surface_forms
 
-    d = _t(spark, sf, "documents").limit(2000)
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 2000)
     m = canonicalize_surface_forms(d.select(F.col("text").alias("obj")), "obj")
-    # mapping now holds non-identity rewrites only: one row per rewritten
+    # mapping holds non-identity rewrites only: one row per rewritten
     # form; group = near-duplicate cluster (canonical member not counted)
     return m.groupBy("canonical_text").agg(
         F.count("*").cast("long").alias("n_rewritten")
@@ -1239,7 +1248,30 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(*)::BIGINT AS support "
             "FROM t GROUP BY subj, pred, obj"
         ),
+        "fs_canonicalize": (
+            "WITH forms AS (SELECT DISTINCT text AS t FROM documents "
+            "WHERE doc_id < 2000), "
+            "toks AS (SELECT t, unnest(list_distinct(string_split(lower(t), "
+            "' '))) AS tok FROM forms), "
+            "sizes AS (SELECT t, COUNT(*) AS n FROM toks GROUP BY t), "
+            "cand AS (SELECT a.t AS ta, b.t AS tb, COUNT(*) AS inter "
+            "FROM toks a JOIN toks b ON a.tok = b.tok AND a.t < b.t "
+            "GROUP BY a.t, b.t), "
+            "pairs AS (SELECT ta, tb FROM cand "
+            "JOIN sizes sa ON sa.t = ta JOIN sizes sb ON sb.t = tb "
+            "WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= 0.9), "
+            "edges AS (SELECT ta AS x, tb AS y FROM pairs "
+            "UNION ALL SELECT tb, ta FROM pairs), "
+            "lab AS (WITH RECURSIVE cc(node, label) AS ("
+            "SELECT x, MIN(LEAST(x, y)) FROM edges GROUP BY x "
+            "UNION "
+            "SELECT e.x, MIN(c.label) FROM edges e JOIN cc c ON c.node = e.y "
+            "GROUP BY e.x) "
+            "SELECT node, MIN(label) AS label FROM cc GROUP BY node) "
+            "SELECT label AS canonical_text, COUNT(*)::BIGINT AS n_rewritten "
+            "FROM lab WHERE node != label GROUP BY label"
+        ),
         # remaining fs_* operators: non-SQL-expressible (Python-regex cleaner,
-        # rule parser, graph matching, hash-kernel canonicalize/conceptualize,
-        # multimodal) -> rows-only checks, intentionally no oracle here.
+        # rule parser, graph matching, hash-kernel conceptualize, multimodal)
+        # -> rows-only checks, intentionally no oracle here.
     }

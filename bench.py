@@ -226,11 +226,11 @@ def _inflated_probase(spark, n_noise: int):
 
     base = probase_df(spark)
     noise = spark.range(n_noise).select(
-        F.concat(F.lit("zzqx"), F.col("id").cast("string")).alias("instance"),
         F.concat(F.lit("zzqxconcept"), (F.col("id") % 1000).cast("string")).alias(
             "concept"
         ),
-        (F.lit(1.0) + (F.col("id") % 7).cast("double")).alias("frequency"),
+        F.concat(F.lit("zzqx"), F.col("id").cast("string")).alias("instance"),
+        (F.lit(1) + (F.col("id") % 7)).cast("long").alias("freq"),
     )
     return base.unionByName(noise.select(*base.columns))
 

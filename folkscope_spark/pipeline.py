@@ -108,9 +108,12 @@ def run_pipeline(
           cache+count so the bench's per-stage timings attribute their cost
           to the right stage."""
 
-        _LAZY = {"assertions", "pattern_counts", "canon_map", "eventualities"}
+        # eventualities is cache-lazy, not lazy: the relational-Probase
+        # conceptualize plan reads it twice (events x its own mini-map
+        # join), and a lazy stand-in would recompute the merge agg per read
+        _LAZY = {"assertions", "pattern_counts", "canon_map"}
         _CACHE_LAZY = {"scored", "event_triples_src", "triples", "concept_rows",
-                       "concept_text"}
+                       "concept_text", "eventualities"}
 
         def stage(self, _spark, name, _fp, build, **kw):
             df = build()
@@ -368,6 +371,11 @@ def run_pipeline(
         if mode == "relational":
             gram_len = max_instance_tokens(probase)
             topk_table = probase_topk(probase)
+            if with_concept_text:
+                # two kernels consume the distributed top-K dim (events +
+                # whole-corpus text); cache it so the rank window over the
+                # multi-M-row Probase runs once, not per consumer
+                topk_table = topk_table.cache()
         else:
             vocab = None
             if n_probase > PROBASE_VOCAB_CUTOFF:
