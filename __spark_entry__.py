@@ -716,6 +716,11 @@ def q_fs_triples(spark, sf):  # flagship pipeline at small scale
 
 
 def q_fs_sentence_embed(spark, sf):  # J7 deterministic sentence embedding
+    """Oracle-checked: the hashed-3-gram embedding (features._embed_batch) is
+    md5 bucketing + sign sums, so DuckDB can reconstruct the full pre-norm
+    bucket vector with its own md5() and check ``nnz`` (non-zero buckets —
+    pins every gram's bucket index and sign, including collisions) alongside
+    the normalization invariant ``sq_norm``."""
     from folkscope_spark.features import embed_sentences
 
     d = _t(spark, sf, "documents").select("doc_id", F.col("text").alias("obj"))
@@ -723,6 +728,7 @@ def q_fs_sentence_embed(spark, sf):  # J7 deterministic sentence embedding
     return e.select(
         "doc_id",
         F.round(F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")), 4).alias("sq_norm"),
+        F.size(F.filter("embedding", lambda x: x != 0.0)).cast("long").alias("nnz"),
         F.size("embedding").cast("long").alias("dim"),
     )
 
@@ -1270,6 +1276,33 @@ def oracle_sql() -> dict[str, str]:
             "SELECT node, MIN(label) AS label FROM cc GROUP BY node) "
             "SELECT label AS canonical_text, COUNT(*)::BIGINT AS n_rewritten "
             "FROM lab WHERE node != label GROUP BY label"
+        ),
+        "fs_sentence_embed": (
+            # Full reconstruction of features._embed_batch: tokens + joined
+            # 3-grams -> md5 -> first-4-bytes % 384 bucket, 5th-byte-LSB sign,
+            # summed per bucket.  nnz = buckets with non-zero sum; sq_norm is
+            # 1.0 for any non-empty gram set (L2-normalized), 0.0 otherwise.
+            "WITH t AS (SELECT doc_id, list_filter(string_split(lower(text), "
+            "' '), x -> x <> '') AS toks FROM documents), "
+            "g1 AS (SELECT doc_id, unnest(toks) AS g FROM t), "
+            "g3 AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || "
+            "toks[i+2] AS g FROM t, unnest(range(1, len(toks) - 1)) AS s(i)), "
+            "grams AS (SELECT doc_id, g FROM g1 "
+            "UNION ALL SELECT doc_id, g FROM g3), "
+            "hashed AS (SELECT doc_id, "
+            "CAST(concat('0x', substr(md5(g), 1, 8)) AS UBIGINT) % 384 AS idx, "
+            "CASE WHEN strpos('13579bdf', substr(md5(g), 10, 1)) > 0 "
+            "THEN 1 ELSE -1 END AS sign FROM grams), "
+            "sums AS (SELECT doc_id, idx, SUM(sign) AS s "
+            "FROM hashed GROUP BY doc_id, idx), "
+            "nz AS (SELECT doc_id, "
+            "COUNT(*) FILTER (WHERE s <> 0)::BIGINT AS nnz "
+            "FROM sums GROUP BY doc_id) "
+            "SELECT d.doc_id, "
+            "CAST(CASE WHEN COALESCE(nz.nnz, 0) > 0 THEN 1.0 ELSE 0.0 END "
+            "AS DOUBLE) AS sq_norm, "
+            "COALESCE(nz.nnz, 0)::BIGINT AS nnz, 384::BIGINT AS dim "
+            "FROM documents d LEFT JOIN nz ON d.doc_id = nz.doc_id"
         ),
         # remaining fs_* operators: non-SQL-expressible (Python-regex cleaner,
         # rule parser, graph matching, hash-kernel conceptualize, multimodal)
