@@ -649,18 +649,39 @@ def q_ann_ivf_bucketed(spark, sf):  # LSH/IVF-bucketed ANN (scale path)
 
 
 def q_fs_clean_text(spark, sf):  # P6 byte-contract cleaner over documents
+    """Oracle-checked: the raw documents text is lowercase-alpha words with
+    single spaces, on which ``clean_text`` is the identity (``passthru``
+    column) — so the query also runs the cleaner over a deterministically
+    *dirtied* copy of each document that fires all four cleaner rules
+    (non-ASCII run -> space, ``<ref ...>`` -> ``<ref>``, Gruber-URL ->
+    ``<url>``, bracket-joined ``<url>`` pair collapse).  Over that
+    construction the cleaner has the closed form
+    ``'n e <ref> [<url>) ' || text``, fuzz-validated against the real
+    regexes in ``tests/test_clean_text_oracle.py``; the DuckDB oracle
+    states the closed form."""
     from folkscope_spark.textnorm import clean_text
     import pandas as pd
 
     d = _t(spark, sf, "documents")
+    fw = F.split(F.col("text"), " ").getItem(0)
+    dirty = F.concat(
+        F.lit('née <ref name="'), fw, F.lit('"> [https://'), fw,
+        F.lit(".com](https://"), fw, F.lit(".org) "), F.col("text"),
+    )
 
     def run(batches):
         for pdf in batches:
             yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"], "cleaned": [clean_text(t) for t in pdf["text"]]}
+                {
+                    "doc_id": pdf["doc_id"],
+                    "cleaned": [clean_text(t) for t in pdf["dirty"]],
+                    "passthru": [clean_text(t) for t in pdf["text"]],
+                }
             )
 
-    return d.select("doc_id", "text").mapInPandas(run, "doc_id long, cleaned string")
+    return d.select("doc_id", "text", dirty.alias("dirty")).mapInPandas(
+        run, "doc_id long, cleaned string, passthru string"
+    )
 
 
 def q_fs_parse_light(spark, sf):  # parse_light deterministic parser
@@ -1288,6 +1309,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT label AS canonical_text, COUNT(*)::BIGINT AS n_rewritten "
             "FROM lab WHERE node != label GROUP BY label"
         ),
+        "fs_clean_text": (
+            # Closed form of textnorm.clean_text over the query's
+            # deterministic dirtying (see q_fs_clean_text docstring):
+            # 'née' -> 'n e', '<ref name="w">' -> '<ref>',
+            # '[https://w.com](https://w.org)' -> '[<url>](<url>)' ->
+            # pair-collapse -> '[<url>)'; raw text is already clean.
+            "SELECT doc_id, 'n e <ref> [<url>) ' || text AS cleaned, "
+            "text AS passthru FROM documents"
+        ),
         "fs_parse_light": (
             # Closed-form replay of nlp.pos_tag + dep_parse over the {DT,JJ,NN}
             # tag alphabet of the documents vocabulary (see q_fs_parse_light
@@ -1364,7 +1394,7 @@ def oracle_sql() -> dict[str, str]:
             "COALESCE(nz.nnz, 0)::BIGINT AS nnz, 384::BIGINT AS dim "
             "FROM documents d LEFT JOIN nz ON d.doc_id = nz.doc_id"
         ),
-        # remaining fs_* operators: non-SQL-expressible (Python-regex cleaner,
-        # combination-heap conceptualize x2, multimodal codec plumbing)
+        # remaining fs_* operators: non-SQL-expressible (combination-heap
+        # conceptualize x2, multimodal codec plumbing)
         # -> rows-only checks, intentionally no oracle here.
     }
