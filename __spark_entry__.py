@@ -799,9 +799,20 @@ def q_fs_multimodal_features(spark, sf):  # multimodal decode plumbing
 
 def q_fs_conceptualize(spark, sf):  # Probase conceptualization kernel (J3/T4/F11)
     """Parses document prefixes into pseudo-eventualities and runs the full
-    reference-parity conceptualize UDF (seed rule + start_index masking +
-    combination search + seed-rule fallback).  Deterministic; rows-only check
-    (graph/heap kernel, not SQL-expressible)."""
+    reference-parity conceptualize UDF (seed rule + combination search +
+    phrase-level second pass + merge + seed-rule fallback).
+
+    Oracle-checked: over this corpus + the fixed 7-key topk_map the heap
+    bound ``top_k**top_k`` (3125) never binds (candidates per level <=
+    3^4*2^3-1 = 647), so the combination search degenerates to the full
+    independent keep-or-substitute enumeration per matched key — word level
+    over tokens, phrase level over maximal-NN-run segments (gated by the
+    reference's misaligned word-level POS index), surfaces deduped by the
+    merge, plus the empty-match fallback.  The DuckDB oracle states exactly
+    that enumeration (static 648-row assignment cross-join); equivalence to
+    the real heap kernel is fuzz-pinned in tests/test_conceptualize_oracle.py.
+    pid/cid are sha1-based (oracle-pinned separately via f1_hash_keys;
+    DuckDB lacks sha1) so this query projects (eid, concept_text, score)."""
     import pandas as pd
     from folkscope_spark.conceptualize import conceptualize
     from folkscope_spark.nlp import parse_sentence
@@ -817,7 +828,7 @@ def q_fs_conceptualize(spark, sf):  # Probase conceptualization kernel (J3/T4/F1
         "join": [("operation", 1.0)],
         "filter": [("operation", 0.9), ("device", 0.1)],
     }
-    d = _t(spark, sf, "documents").limit(300)
+    d = _t(spark, sf, "documents")
 
     ev_schema = (
         "eid string, relation string, words array<string>, "
@@ -830,7 +841,9 @@ def q_fs_conceptualize(spark, sf):  # Probase conceptualization kernel (J3/T4/F1
         for pdf in batches:
             rows = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                p = parse_sentence(text[:160])
+                # word-boundary truncation: tokens stay in the corpus
+                # vocabulary, so the oracle's closed forms apply
+                p = parse_sentence(" ".join(text.split(" ")[:25]))
                 if not p["dependencies"]:
                     continue
                 rows.append(
@@ -858,9 +871,7 @@ def q_fs_conceptualize(spark, sf):  # Probase conceptualization kernel (J3/T4/F1
 
     events = d.select("doc_id", "text").mapInPandas(mk_events, schema=ev_schema)
     c = conceptualize(events, topk_map, start_index_mode="none")
-    return c.select(
-        "pid", "cid", "eid", "concept_text", F.round("score", 6).alias("score")
-    )
+    return c.select("eid", "concept_text", F.round("score", 6).alias("score"))
 
 
 def q_fs_concept_text(spark, sf):  # whole-sentence conceptualized_text pass
@@ -1394,7 +1405,118 @@ def oracle_sql() -> dict[str, str]:
             "COALESCE(nz.nnz, 0)::BIGINT AS nnz, 384::BIGINT AS dim "
             "FROM documents d LEFT JOIN nz ON d.doc_id = nz.doc_id"
         ),
-        # remaining fs_* operators: non-SQL-expressible (combination-heap
-        # conceptualize x2, multimodal codec plumbing)
-        # -> rows-only checks, intentionally no oracle here.
+        "fs_conceptualize": (
+            # Full keep-or-substitute enumeration equivalent to the heap
+            # kernel when the 3125 cap never binds (see q_fs_conceptualize
+            # docstring; equivalence fuzz-pinned in
+            # tests/test_conceptualize_oracle.py).  Legs: word level over
+            # tokens, phrase level over maximal-NN-run segments (misaligned
+            # word-level POS gate), DISTINCT dedupe, empty-match fallback.
+            "WITH t AS (SELECT doc_id::VARCHAR AS eid, "
+            "list_slice(string_split(text, ' '), 1, 25) AS ws FROM documents "
+            "WHERE len(string_split(text, ' ')) >= 2), "
+            "tok AS (SELECT eid, unnest(range(1, len(ws) + 1)) AS i, "
+            "unnest(ws) AS w FROM t), "
+            "tag AS (SELECT eid, i, w, CASE WHEN w IN ('a', 'the') THEN 'DT' "
+            "WHEN w = 'small' THEN 'JJ' ELSE 'NN' END AS tg FROM tok), "
+            "seg AS (SELECT eid, i, w, tg, CASE WHEN tg = 'NN' THEN "
+            "'n' || (i - ROW_NUMBER() OVER (PARTITION BY eid, tg = 'NN' "
+            "ORDER BY i))::VARCHAR ELSE 's' || i::VARCHAR END AS gid FROM tag), "
+            "ph AS (SELECT eid, MIN(i) AS start_i, "
+            "string_agg(w, ' ' ORDER BY i) AS phrase FROM seg GROUP BY eid, gid), "
+            "phn AS (SELECT eid, phrase, ROW_NUMBER() OVER "
+            "(PARTITION BY eid ORDER BY start_i) AS pi FROM ph), "
+            "doc AS (SELECT t.eid, t.ws, (SELECT list(phrase ORDER BY pi) "
+            "FROM phn WHERE phn.eid = t.eid) AS ps, len(ws) AS n_tok FROM t), "
+            "m AS (SELECT d.eid, "
+            "list_contains(d.ws, 'table') AS mw_table, "
+            "list_contains(d.ws, 'query') AS mw_query, "
+            "list_contains(d.ws, 'row') AS mw_row, "
+            "list_contains(d.ws, 'data') AS mw_data, "
+            "list_contains(d.ws, 'key') AS mw_key, "
+            "list_contains(d.ws, 'join') AS mw_join, "
+            "list_contains(d.ws, 'filter') AS mw_filter, "
+            "EXISTS (SELECT 1 FROM phn p JOIN tag g ON g.eid = p.eid AND "
+            "g.i = p.pi WHERE p.eid = d.eid AND p.phrase = 'table' AND "
+            "g.tg = 'NN') AS mp_table, "
+            "EXISTS (SELECT 1 FROM phn p JOIN tag g ON g.eid = p.eid AND "
+            "g.i = p.pi WHERE p.eid = d.eid AND p.phrase = 'query' AND "
+            "g.tg = 'NN') AS mp_query, "
+            "EXISTS (SELECT 1 FROM phn p JOIN tag g ON g.eid = p.eid AND "
+            "g.i = p.pi WHERE p.eid = d.eid AND p.phrase = 'row' AND "
+            "g.tg = 'NN') AS mp_row, "
+            "EXISTS (SELECT 1 FROM phn p JOIN tag g ON g.eid = p.eid AND "
+            "g.i = p.pi WHERE p.eid = d.eid AND p.phrase = 'data' AND "
+            "g.tg = 'NN') AS mp_data, "
+            "EXISTS (SELECT 1 FROM phn p JOIN tag g ON g.eid = p.eid AND "
+            "g.i = p.pi WHERE p.eid = d.eid AND p.phrase = 'key' AND "
+            "g.tg = 'NN') AS mp_key, "
+            "EXISTS (SELECT 1 FROM phn p JOIN tag g ON g.eid = p.eid AND "
+            "g.i = p.pi WHERE p.eid = d.eid AND p.phrase = 'join' AND "
+            "g.tg = 'NN') AS mp_join, "
+            "EXISTS (SELECT 1 FROM phn p JOIN tag g ON g.eid = p.eid AND "
+            "g.i = p.pi WHERE p.eid = d.eid AND p.phrase = 'filter' AND "
+            "g.tg = 'NN') AS mp_filter, "
+            "len(d.ps) != d.n_tok AS has_phrase_pass FROM doc d), "
+            "ch AS (SELECT * FROM (VALUES "
+            "('table', NULL, 1.0), ('table', 'structure', 0.6), "
+            "('table', 'object', 0.4), "
+            "('query', NULL, 1.0), ('query', 'request', 0.7), "
+            "('query', 'question', 0.3), "
+            "('row', NULL, 1.0), ('row', 'record', 1.0), "
+            "('data', NULL, 1.0), ('data', 'information', 0.8), "
+            "('data', 'asset', 0.2), "
+            "('key', NULL, 1.0), ('key', 'identifier', 1.0), "
+            "('join', NULL, 1.0), ('join', 'operation', 1.0), "
+            "('filter', NULL, 1.0), ('filter', 'operation', 0.9), "
+            "('filter', 'device', 0.1)) AS v(w, c, p)), "
+            "asg AS (SELECT ct.c AS c_table, cq.c AS c_query, cr.c AS c_row, "
+            "cd.c AS c_data, ck.c AS c_key, cj.c AS c_join, cf.c AS c_filter, "
+            "ct.p * cq.p * cr.p * cd.p * ck.p * cj.p * cf.p AS score "
+            "FROM ch ct, ch cq, ch cr, ch cd, ch ck, ch cj, ch cf "
+            "WHERE ct.w = 'table' AND cq.w = 'query' AND cr.w = 'row' AND "
+            "cd.w = 'data' AND ck.w = 'key' AND cj.w = 'join' AND "
+            "cf.w = 'filter'), "
+            "lvl AS (SELECT d.eid, d.ws AS seq, m.mw_table AS g_table, "
+            "m.mw_query AS g_query, m.mw_row AS g_row, m.mw_data AS g_data, "
+            "m.mw_key AS g_key, m.mw_join AS g_join, m.mw_filter AS g_filter "
+            "FROM doc d JOIN m USING (eid) "
+            "UNION ALL "
+            "SELECT d.eid, d.ps AS seq, m.mp_table, m.mp_query, m.mp_row, "
+            "m.mp_data, m.mp_key, m.mp_join, m.mp_filter "
+            "FROM doc d JOIN m USING (eid) WHERE m.has_phrase_pass), "
+            "sub AS (SELECT DISTINCT l.eid, "
+            "array_to_string(list_transform(l.seq, x -> CASE x "
+            "WHEN 'table' THEN coalesce(a.c_table, x) "
+            "WHEN 'query' THEN coalesce(a.c_query, x) "
+            "WHEN 'row' THEN coalesce(a.c_row, x) "
+            "WHEN 'data' THEN coalesce(a.c_data, x) "
+            "WHEN 'key' THEN coalesce(a.c_key, x) "
+            "WHEN 'join' THEN coalesce(a.c_join, x) "
+            "WHEN 'filter' THEN coalesce(a.c_filter, x) "
+            "ELSE x END), ' ') AS concept_text, ROUND(a.score, 6) AS score "
+            "FROM lvl l JOIN asg a ON "
+            "(l.g_table OR a.c_table IS NULL) AND "
+            "(l.g_query OR a.c_query IS NULL) AND "
+            "(l.g_row OR a.c_row IS NULL) AND "
+            "(l.g_data OR a.c_data IS NULL) AND "
+            "(l.g_key OR a.c_key IS NULL) AND "
+            "(l.g_join OR a.c_join IS NULL) AND "
+            "(l.g_filter OR a.c_filter IS NULL) AND "
+            "NOT (a.c_table IS NULL AND a.c_query IS NULL AND "
+            "a.c_row IS NULL AND a.c_data IS NULL AND a.c_key IS NULL AND "
+            "a.c_join IS NULL AND a.c_filter IS NULL)), "
+            "fallback AS (SELECT d.eid, array_to_string(d.ws, ' ') AS "
+            "concept_text, 1.0 AS score FROM doc d JOIN m USING (eid) "
+            "WHERE NOT (m.mw_table OR m.mw_query OR m.mw_row OR m.mw_data "
+            "OR m.mw_key OR m.mw_join OR m.mw_filter) "
+            "AND NOT (m.has_phrase_pass AND (m.mp_table OR m.mp_query OR "
+            "m.mp_row OR m.mp_data OR m.mp_key OR m.mp_join OR m.mp_filter)))"
+            " SELECT eid, concept_text, score::DOUBLE AS score FROM sub "
+            "UNION ALL SELECT eid, concept_text, score::DOUBLE AS score "
+            "FROM fallback"
+        ),
+        # remaining fs_* operators: non-SQL-expressible (whole-sentence
+        # conceptualize_text with per-phrase POS/NER reductions, multimodal
+        # codec plumbing) -> rows-only checks, intentionally no oracle here.
     }
