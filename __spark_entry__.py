@@ -877,8 +877,15 @@ def q_fs_conceptualize(spark, sf):  # Probase conceptualization kernel (J3/T4/F1
 def q_fs_concept_text(spark, sf):  # whole-sentence conceptualized_text pass
     """The reference emits ``conceptualized_text`` for every parsed line, not
     just its eventualities (conceptualizer.py:682-685): phrase segments carry
-    their own POS/NER (first word of the segment).  Deterministic; rows-only
-    (same graph/heap kernel family as fs_conceptualize)."""
+    their own POS/NER (first word of the segment).
+
+    Oracle-checked like fs_conceptualize (same enumeration identity, see its
+    docstring) with one difference: the phrase-level POS gate is *aligned*
+    here (a segment's own first-word tag), so a map key matches whenever it
+    occurs as a standalone segment — ``list_contains(ps, key)`` in the SQL.
+    Equivalence to the real ``conceptualize_from_text`` kernel is fuzz-pinned
+    in tests/test_conceptualize_oracle.py; cid is sha1-based (pinned via
+    f1_hash_keys) so this query projects (sid, concept_text, score)."""
     import pandas as pd
 
     from folkscope_spark.conceptualize import conceptualize_text
@@ -893,7 +900,7 @@ def q_fs_concept_text(spark, sf):  # whole-sentence conceptualized_text pass
         "join": [("operation", 1.0)],
         "filter": [("operation", 0.9), ("device", 0.1)],
     }
-    d = _t(spark, sf, "documents").limit(300)
+    d = _t(spark, sf, "documents")
 
     parsed_schema = (
         "sid string, relation string, tokens array<string>, "
@@ -905,7 +912,8 @@ def q_fs_concept_text(spark, sf):  # whole-sentence conceptualized_text pass
         for pdf in batches:
             rows = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                p = parse_sentence(text[:160])
+                # word-boundary truncation, as in q_fs_conceptualize
+                p = parse_sentence(" ".join(text.split(" ")[:25]))
                 if not p["dependencies"]:
                     continue
                 rows.append(
@@ -930,7 +938,7 @@ def q_fs_concept_text(spark, sf):  # whole-sentence conceptualized_text pass
 
     parsed = d.select("doc_id", "text").mapInPandas(mk_parsed, schema=parsed_schema)
     c = conceptualize_text(parsed, topk_map, start_index_mode="none")
-    return c.select("sid", "cid", "concept_text", F.round("score", 6).alias("score"))
+    return c.select("sid", "concept_text", F.round("score", 6).alias("score"))
 
 
 def q_fs_canonicalize(spark, sf):  # MinHash-LSH + CC over document texts
@@ -1516,7 +1524,101 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT eid, concept_text, score::DOUBLE AS score "
             "FROM fallback"
         ),
-        # remaining fs_* operators: non-SQL-expressible (whole-sentence
-        # conceptualize_text with per-phrase POS/NER reductions, multimodal
-        # codec plumbing) -> rows-only checks, intentionally no oracle here.
+        "fs_concept_text": (
+            # Same enumeration identity as fs_conceptualize (see that
+            # oracle's comment); only the phrase-level gate differs — the
+            # text path uses the segment's own first-word POS (aligned), so
+            # a key matches iff it appears as a standalone segment.
+            "WITH t AS (SELECT doc_id::VARCHAR AS sid, "
+            "list_slice(string_split(text, ' '), 1, 25) AS ws FROM documents "
+            "WHERE len(string_split(text, ' ')) >= 2), "
+            "tok AS (SELECT sid, unnest(range(1, len(ws) + 1)) AS i, "
+            "unnest(ws) AS w FROM t), "
+            "tag AS (SELECT sid, i, w, CASE WHEN w IN ('a', 'the') THEN 'DT' "
+            "WHEN w = 'small' THEN 'JJ' ELSE 'NN' END AS tg FROM tok), "
+            "seg AS (SELECT sid, i, w, tg, CASE WHEN tg = 'NN' THEN "
+            "'n' || (i - ROW_NUMBER() OVER (PARTITION BY sid, tg = 'NN' "
+            "ORDER BY i))::VARCHAR ELSE 's' || i::VARCHAR END AS gid FROM tag), "
+            "ph AS (SELECT sid, MIN(i) AS start_i, "
+            "string_agg(w, ' ' ORDER BY i) AS phrase FROM seg GROUP BY sid, gid), "
+            "phn AS (SELECT sid, phrase, ROW_NUMBER() OVER "
+            "(PARTITION BY sid ORDER BY start_i) AS pi FROM ph), "
+            "doc AS (SELECT t.sid, t.ws, (SELECT list(phrase ORDER BY pi) "
+            "FROM phn WHERE phn.sid = t.sid) AS ps, len(ws) AS n_tok FROM t), "
+            "m AS (SELECT d.sid, "
+            "list_contains(d.ws, 'table') AS mw_table, "
+            "list_contains(d.ws, 'query') AS mw_query, "
+            "list_contains(d.ws, 'row') AS mw_row, "
+            "list_contains(d.ws, 'data') AS mw_data, "
+            "list_contains(d.ws, 'key') AS mw_key, "
+            "list_contains(d.ws, 'join') AS mw_join, "
+            "list_contains(d.ws, 'filter') AS mw_filter, "
+            "list_contains(d.ps, 'table') AS mp_table, "
+            "list_contains(d.ps, 'query') AS mp_query, "
+            "list_contains(d.ps, 'row') AS mp_row, "
+            "list_contains(d.ps, 'data') AS mp_data, "
+            "list_contains(d.ps, 'key') AS mp_key, "
+            "list_contains(d.ps, 'join') AS mp_join, "
+            "list_contains(d.ps, 'filter') AS mp_filter, "
+            "len(d.ps) != d.n_tok AS has_phrase_pass FROM doc d), "
+            "ch AS (SELECT * FROM (VALUES "
+            "('table', NULL, 1.0), ('table', 'structure', 0.6), "
+            "('table', 'object', 0.4), "
+            "('query', NULL, 1.0), ('query', 'request', 0.7), "
+            "('query', 'question', 0.3), "
+            "('row', NULL, 1.0), ('row', 'record', 1.0), "
+            "('data', NULL, 1.0), ('data', 'information', 0.8), "
+            "('data', 'asset', 0.2), "
+            "('key', NULL, 1.0), ('key', 'identifier', 1.0), "
+            "('join', NULL, 1.0), ('join', 'operation', 1.0), "
+            "('filter', NULL, 1.0), ('filter', 'operation', 0.9), "
+            "('filter', 'device', 0.1)) AS v(w, c, p)), "
+            "asg AS (SELECT ct.c AS c_table, cq.c AS c_query, cr.c AS c_row, "
+            "cd.c AS c_data, ck.c AS c_key, cj.c AS c_join, cf.c AS c_filter, "
+            "ct.p * cq.p * cr.p * cd.p * ck.p * cj.p * cf.p AS score "
+            "FROM ch ct, ch cq, ch cr, ch cd, ch ck, ch cj, ch cf "
+            "WHERE ct.w = 'table' AND cq.w = 'query' AND cr.w = 'row' AND "
+            "cd.w = 'data' AND ck.w = 'key' AND cj.w = 'join' AND "
+            "cf.w = 'filter'), "
+            "lvl AS (SELECT d.sid, d.ws AS seq, m.mw_table AS g_table, "
+            "m.mw_query AS g_query, m.mw_row AS g_row, m.mw_data AS g_data, "
+            "m.mw_key AS g_key, m.mw_join AS g_join, m.mw_filter AS g_filter "
+            "FROM doc d JOIN m USING (sid) "
+            "UNION ALL "
+            "SELECT d.sid, d.ps AS seq, m.mp_table, m.mp_query, m.mp_row, "
+            "m.mp_data, m.mp_key, m.mp_join, m.mp_filter "
+            "FROM doc d JOIN m USING (sid) WHERE m.has_phrase_pass), "
+            "sub AS (SELECT DISTINCT l.sid, "
+            "array_to_string(list_transform(l.seq, x -> CASE x "
+            "WHEN 'table' THEN coalesce(a.c_table, x) "
+            "WHEN 'query' THEN coalesce(a.c_query, x) "
+            "WHEN 'row' THEN coalesce(a.c_row, x) "
+            "WHEN 'data' THEN coalesce(a.c_data, x) "
+            "WHEN 'key' THEN coalesce(a.c_key, x) "
+            "WHEN 'join' THEN coalesce(a.c_join, x) "
+            "WHEN 'filter' THEN coalesce(a.c_filter, x) "
+            "ELSE x END), ' ') AS concept_text, ROUND(a.score, 6) AS score "
+            "FROM lvl l JOIN asg a ON "
+            "(l.g_table OR a.c_table IS NULL) AND "
+            "(l.g_query OR a.c_query IS NULL) AND "
+            "(l.g_row OR a.c_row IS NULL) AND "
+            "(l.g_data OR a.c_data IS NULL) AND "
+            "(l.g_key OR a.c_key IS NULL) AND "
+            "(l.g_join OR a.c_join IS NULL) AND "
+            "(l.g_filter OR a.c_filter IS NULL) AND "
+            "NOT (a.c_table IS NULL AND a.c_query IS NULL AND "
+            "a.c_row IS NULL AND a.c_data IS NULL AND a.c_key IS NULL AND "
+            "a.c_join IS NULL AND a.c_filter IS NULL)), "
+            "fallback AS (SELECT d.sid, array_to_string(d.ws, ' ') AS "
+            "concept_text, 1.0 AS score FROM doc d JOIN m USING (sid) "
+            "WHERE NOT (m.mw_table OR m.mw_query OR m.mw_row OR m.mw_data "
+            "OR m.mw_key OR m.mw_join OR m.mw_filter) "
+            "AND NOT (m.has_phrase_pass AND (m.mp_table OR m.mp_query OR "
+            "m.mp_row OR m.mp_data OR m.mp_key OR m.mp_join OR m.mp_filter)))"
+            " SELECT sid, concept_text, score::DOUBLE AS score FROM sub "
+            "UNION ALL SELECT sid, concept_text, score::DOUBLE AS score "
+            "FROM fallback"
+        ),
+        # remaining fs_* rows-only entry: fs_multimodal_features (declared
+        # codec seam; Spark-side plumbing is what the check exercises).
     }

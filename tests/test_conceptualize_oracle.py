@@ -146,6 +146,54 @@ def test_mirror_matches_kernel_adversarial_boundaries():
         assert mirror(words) == real(words), words
 
 
+def mirror_text(words: list[str]) -> set:
+    """fs_concept_text's closed form: the text path gates a phrase by its own
+    first-word POS, so a key matches iff it is a standalone segment."""
+    tags = [tag(w) for w in words]
+    phrases = segments(words, tags)
+    mw = [w for w in TOPK if w in set(words)]
+    out = enumerate_level(words, mw)
+    mp = [w for w in TOPK if w in set(phrases)]
+    if len(phrases) != len(words):
+        out |= enumerate_level(phrases, mp)
+    if not mw and not (mp if len(phrases) != len(words) else []):
+        out = {(" ".join(words), 1.0)}
+    return out
+
+
+def real_text(words: list[str]) -> set:
+    from folkscope_spark.conceptualize import conceptualize_from_text
+
+    p = parse_sentence(" ".join(words))
+    got = conceptualize_from_text(
+        [w.lower() for w in p["lemmas"]], list(p["ners"]),
+        list(p["pos_tags"]), p["dependencies"], TOPK, 5, start_index=0,
+    )
+    surfaces = [" ".join(cw) for cw, _ in got]
+    assert len(surfaces) == len(set(surfaces)), "duplicate surface"
+    assert len(got) <= 1294, "heap bound would bind"
+    return {(" ".join(cw), round(s, 6)) for cw, s in got}
+
+
+def test_text_mirror_matches_kernel_fuzz():
+    rng = random.Random(43)
+    for _ in range(300):
+        words = [rng.choice(VOCAB) for _ in range(rng.randint(2, 25))]
+        assert mirror_text(words) == real_text(words), words
+
+
+def test_text_vs_eventuality_gate_divergence_case():
+    # "row row a a row": the standalone 'row' is phrase #4, whose misaligned
+    # word-level tag (position 4 = 'a' -> DT) fails the eventuality path's
+    # gate but passes the text path's aligned gate — the two oracles encode
+    # genuinely different kernels, and each matches its own.
+    words = ["row", "row", "a", "a", "row"]
+    ev, tx = mirror(words), mirror_text(words)
+    assert ev == real(words)
+    assert tx == real_text(words)
+    assert ("row row a a record", 1.0) in tx - ev
+
+
 def test_dep_parse_empty_only_for_single_token():
     # (e) the oracle filters len(ws) >= 2; the query skips empty-dep parses
     for w in VOCAB:
