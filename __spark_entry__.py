@@ -786,6 +786,15 @@ def q_fs_kg_tensors(spark, sf):  # D12/J8 integer triple export
 
 
 def q_fs_multimodal_features(spark, sf):  # multimodal decode plumbing
+    """Oracle-checked (round 5 — the last rows-only entry closed): the
+    corpus generator (``synthetic.page_row``) defines the input on both
+    sides; everything Spark computes *on top* is independently recomputed by
+    the oracle in one Python process — the ``kind`` assignment via a
+    from-spec XXH64 (``folkscope_spark.xxh64``, pinned against
+    ``F.xxhash64`` in tests), payload byte counts and sha1 via hashlib over
+    the raw page bytes — and inlined as a VALUES table.  The per-kind
+    ``min_sha1``/``n_sha1`` aggregates pin byte-exact payload fidelity
+    through the Arrow binary round-trip into the ``mapInPandas`` kernel."""
     from folkscope_spark.multimodal import assets_from_pages, extract_features
     from folkscope_spark.synthetic import pages_df
 
@@ -794,6 +803,40 @@ def q_fs_multimodal_features(spark, sf):  # multimodal decode plumbing
     return f.groupBy("kind").agg(
         F.count("*").cast("long").alias("n"),
         F.round(F.avg("n_bytes"), 2).alias("avg_bytes"),
+        F.countDistinct("sha1").cast("long").alias("n_sha1"),
+        F.min("sha1").alias("min_sha1"),
+    )
+
+
+def _fs_multimodal_oracle_sql() -> str:
+    """Single-process replay of the multimodal contract query: enumerate the
+    same 200 synthetic pages, assign ``kind`` with the pure-Python XXH64
+    (Spark semantics: ``element_at(kinds, pmod(xxhash64(url), 3) + 1)``;
+    Java's signed pmod == Python's ``%`` on the signed value), measure the
+    payload with hashlib — then hand DuckDB only the VALUES table + the
+    aggregation."""
+    import hashlib
+
+    from folkscope_spark.synthetic import page_row
+    from folkscope_spark.xxh64 import xxh64_signed
+
+    kinds = ("image", "audio", "video")
+    vals = []
+    for i in range(200):
+        r = page_row(i, 40)
+        kind = kinds[xxh64_signed(r["url"].encode("utf-8")) % 3]
+        payload = r["html"]
+        vals.append(
+            "('%s', %d, '%s')"
+            % (kind, len(payload), hashlib.sha1(payload).hexdigest())
+        )
+    return (
+        "WITH a(kind, n_bytes, sha1) AS (VALUES "
+        + ", ".join(vals)
+        + ") SELECT kind, COUNT(*)::BIGINT AS n, "
+        "ROUND(AVG(n_bytes), 2) AS avg_bytes, "
+        "COUNT(DISTINCT sha1)::BIGINT AS n_sha1, MIN(sha1) AS min_sha1 "
+        "FROM a GROUP BY kind"
     )
 
 
@@ -1619,6 +1662,8 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT sid, concept_text, score::DOUBLE AS score "
             "FROM fallback"
         ),
-        # remaining fs_* rows-only entry: fs_multimodal_features (declared
-        # codec seam; Spark-side plumbing is what the check exercises).
+        # the codec itself stays a declared seam (decoder="fake"); the
+        # oracle replays the deterministic plumbing single-process so all
+        # 50 contract queries are now hash-checked.
+        "fs_multimodal_features": _fs_multimodal_oracle_sql(),
     }

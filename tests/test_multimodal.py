@@ -87,3 +87,58 @@ def test_real_decoder_seam_raises(assets):
     with pytest.raises(Exception) as exc:
         extract_features(assets, decoder="real").count()
     assert "NotImplementedError" in str(exc.value) or "real decoder seam" in str(exc.value)
+
+
+def test_xxh64_matches_spark(spark):
+    """The from-spec XXH64 the contract oracle uses to replay Spark's
+    hash-derived kind assignment must track F.xxhash64 exactly — empty,
+    sub-chunk (<8B), 4B-tail, byte-tail, full 32B-lane and unicode inputs."""
+    from folkscope_spark.xxh64 import xxh64_signed
+
+    samples = [
+        "",
+        "a",
+        "abcd",
+        "abcdefg",
+        "12345678",
+        "https://shop-00ff.example/tools/B0000000017+B0000000003",
+        "x" * 31,
+        "y" * 32,
+        "z" * 67,
+        "éèê unicode 中文 ✓",
+    ]
+    got = {
+        r["s"]: r["h"]
+        for r in spark.createDataFrame([(s,) for s in samples], ["s"])
+        .select("s", F.xxhash64("s").alias("h"))
+        .collect()
+    }
+    for s in samples:
+        assert xxh64_signed(s.encode("utf-8")) == got[s], s
+
+
+def test_contract_oracle_replay_matches_spark(spark):
+    """Per-asset differential between the Spark multimodal path and the
+    single-process enumeration the fs_multimodal_features oracle inlines:
+    kind (JVM xxhash64 vs pure-Python XXH64), n_bytes and sha1 (Arrow
+    binary round-trip fidelity), at a size != the contract's 200 pages so
+    the guard isn't just re-running the contract row."""
+    import hashlib
+
+    from folkscope_spark.multimodal import assets_from_pages, extract_features
+    from folkscope_spark.synthetic import page_row, pages_df
+    from folkscope_spark.xxh64 import xxh64_signed
+
+    n_pages, n_items = 73, 20
+    feats = extract_features(assets_from_pages(pages_df(spark, n_pages, n_items)))
+    got = {
+        r["sha1"]: (r["kind"], r["n_bytes"])
+        for r in feats.select("kind", "n_bytes", "sha1").collect()
+    }
+    kinds = ("image", "audio", "video")
+    want = {}
+    for i in range(n_pages):
+        r = page_row(i, n_items)
+        kind = kinds[xxh64_signed(r["url"].encode("utf-8")) % 3]
+        want[hashlib.sha1(r["html"]).hexdigest()] = (kind, len(r["html"]))
+    assert got == want
