@@ -205,3 +205,79 @@ def test_text_path_segment_edge_cases(port, topk_map):
             port.conceptualize_from_text(list(words), list(ners), list(pos), list(deps), start_index=si)
         )
         assert ours == ref, (deps, si)
+
+
+# ------------------------------------------------- hypothesis fuzz (round 5)
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_INSTANCES = sorted({t[1] for t in _triples()})
+_WORD = st.sampled_from(
+    _INSTANCES[:12]
+    + ["buy", "the", "and", "for", "with", "use", "good", "very", "run", "2021"]
+)
+_POSTAG = st.sampled_from(
+    ["NN", "NNS", "VB", "VBD", "JJ", "DT", "IN", "PRP", "RB", "CD"]
+)
+_NER = st.sampled_from(["O", "O", "O", "O", "PERSON", "DATE", "ORGANIZATION"])
+_DREL_TEXT = st.sampled_from(
+    ["nsubj", "obj", "det", "case", "advmod", "conj", "compound", "nummod"]
+)
+# the eventuality-path differential excludes compound chains by design (the
+# reference's Eventuality.phrases span-misread is a documented bug the
+# production code does not copy — same scope as
+# test_eventuality_path_matches_port_no_compounds)
+_DREL_EVENT = st.sampled_from(
+    ["nsubj", "obj", "det", "case", "advmod", "conj", "nummod"]
+)
+
+
+@st.composite
+def _sentence(draw, rels, max_n=8):
+    n = draw(st.integers(min_value=1, max_value=max_n))
+    words = [draw(_WORD) for _ in range(n)]
+    pos = [draw(_POSTAG) for _ in range(n)]
+    ners = [draw(_NER) for _ in range(n)]
+    deps = []
+    if n > 1:
+        for _ in range(draw(st.integers(min_value=0, max_value=2 * n))):
+            g = draw(st.integers(min_value=0, max_value=n - 1))
+            d = draw(st.integers(min_value=0, max_value=n - 1))
+            if g != d:
+                deps.append((g, draw(rels), d))
+    return words, ners, pos, deps, draw(st.integers(min_value=0, max_value=n))
+
+
+@settings(max_examples=150, deadline=None)
+@given(_sentence(rels=_DREL_TEXT))
+def test_text_path_matches_port_fuzz(port, topk_map, sent):
+    """Random sentences (Probase hits, fillers, NER placeholders, random
+    compound chains, arbitrary start_index) through BOTH text-path
+    implementations — shrinking fuzz over the same contract the corpus and
+    handcrafted differentials pin."""
+    words, ners, pos, deps, si = sent
+    ours = _norm(
+        conceptualize_from_text(words, ners, pos, deps, topk_map, TOPK, start_index=si)
+    )
+    ref = _norm(
+        port.conceptualize_from_text(
+            list(words), list(ners), list(pos), list(deps), start_index=si
+        )
+    )
+    assert ours == ref, (words, pos, deps, si)
+
+
+@settings(max_examples=150, deadline=None)
+@given(_sentence(rels=_DREL_EVENT))
+def test_eventuality_path_matches_port_fuzz(port, topk_map, sent):
+    words, ners, pos, deps, si = sent
+    ours = _norm(
+        conceptualize_eventuality(words, pos, ners, deps, topk_map, TOPK, start_index=si)
+    )
+    ref = _norm(
+        port.conceptualize_eventuality(
+            list(words), list(ners), list(pos), list(deps), start_index=si
+        )
+    )
+    assert ours == ref, (words, pos, deps, si)
