@@ -214,3 +214,66 @@ def test_precheck_multiedge_multiplicity_quirk_pinned():
     # and a graph that repeats the base label passes the precheck too
     g2 = DiGraph(["NN", "NN"], [(0, "nmod:of", 1), (0, "nmod:poss", 1)])
     assert get_subisomorphisms(g2, p) == [[0, 1]]
+
+
+# ------------------------------------------------------------ .lg codec
+
+from folkscope_spark.patterns import read_lg, write_lg  # noqa: E402
+
+_RAW_POS = st.sampled_from(
+    ["NN", "NNS", "NNP", "RB", "RBR", "JJ", "JJS", "VB", "VBD", "DT",
+     "IN", "PRP", ",", ".", ":", "``"]  # incl. punctuation vertices
+)
+_NORM_POS = st.sampled_from(
+    ["NN", "RB", "JJ", "VB", "VBD", "DT", "IN", "PRP"]  # normalize_pattern image
+)
+
+
+@st.composite
+def _lg_patterns(draw, pos_strategy, elabel_strategy, max_patterns=4, max_n=5):
+    pats, freqs = [], []
+    for _ in range(draw(st.integers(min_value=1, max_value=max_patterns))):
+        n = draw(st.integers(min_value=1, max_value=max_n))
+        vlabels = tuple(draw(pos_strategy) for _ in range(n))
+        edges = []
+        if n > 1:
+            for _ in range(draw(st.integers(min_value=0, max_value=n + 2))):
+                u = draw(st.integers(min_value=0, max_value=n - 1))
+                v = draw(st.integers(min_value=0, max_value=n - 1))
+                if u != v:
+                    edges.append((u, draw(elabel_strategy), v))
+        pats.append((vlabels, tuple(edges)))
+        freqs.append(draw(st.integers(min_value=0, max_value=10**6)))
+    return pats, freqs
+
+
+_BASE_ELABEL = st.sampled_from(["nsubj", "obj", "compound", "amod", "nmod"])
+
+
+@settings(max_examples=200, deadline=None)
+@given(_lg_patterns(_NORM_POS, _BASE_ELABEL))
+def test_lg_roundtrip_identity_on_normalized(pats_freqs):
+    """S7 codec property: for patterns already in normalize_pattern's image
+    (class POS, base edge labels, no punctuation vertices), write_lg ->
+    read_lg is the identity on both structure and frequency."""
+    pats, freqs = pats_freqs
+    text = write_lg({"r": {"patterns": pats, "freqs": freqs}}, "r")
+    got = read_lg(text, fuzzy=True)
+    assert got == [
+        ((tuple(p[0]), tuple(p[1])), f) for p, f in zip(pats, freqs)
+    ]
+
+
+@settings(max_examples=200, deadline=None)
+@given(_lg_patterns(_RAW_POS, _ELABEL))
+def test_lg_read_normalizes_like_normalize_pattern(pats_freqs):
+    """read_lg on RAW miner output (subtype POS, ``:``-suffixed edge labels,
+    punctuation vertices) must equal applying normalize_pattern directly —
+    the reference's read-back semantics (pattern_miner.py:19-104)."""
+    pats, freqs = pats_freqs
+    text = write_lg({"r": {"patterns": pats, "freqs": freqs}}, "r")
+    got = read_lg(text, fuzzy=True)
+    assert got == [
+        (normalize_pattern(list(p[0]), list(p[1]), fuzzy=True), f)
+        for p, f in zip(pats, freqs)
+    ]
