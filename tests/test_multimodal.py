@@ -142,3 +142,35 @@ def test_contract_oracle_replay_matches_spark(spark):
         kind = kinds[xxh64_signed(r["url"].encode("utf-8")) % 3]
         want[hashlib.sha1(r["html"]).hexdigest()] = (kind, len(r["html"]))
     assert got == want
+
+
+def test_xxh64_matches_spark_bulk_random(spark):
+    """Breadth pin for the from-spec XXH64: 2,000 seeded-random byte strings
+    (lengths 0-96, full byte alphabet including non-UTF8-roundtrippable
+    ranges avoided by construction: Spark hashes the UTF-8 encoding of a
+    string column, so inputs are generated as text) vs F.xxhash64 in one
+    job.  The 10-sample boundary test pins the chunk/tail classes; this one
+    guards the wide middle."""
+    import random
+
+    rng = random.Random(0xF01C5)
+    alphabet = (
+        "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+        " _-./:?&=%#@!~中文éèüñ✓’—"
+    )
+    samples = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 97)))
+        for _ in range(2000)
+    ]
+    from folkscope_spark.xxh64 import xxh64_signed
+
+    got = (
+        spark.createDataFrame([(i, s) for i, s in enumerate(samples)], ["i", "s"])
+        .select("i", F.xxhash64("s").alias("h"))
+        .collect()
+    )
+    for r in got:
+        assert xxh64_signed(samples[r["i"]].encode("utf-8")) == r["h"], (
+            r["i"],
+            samples[r["i"]],
+        )
