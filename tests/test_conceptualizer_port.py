@@ -235,17 +235,24 @@ _DREL_EVENT = st.sampled_from(
 
 @st.composite
 def _sentence(draw, rels, max_n=8):
+    """Random sentence with a VALID dependency structure: a parse is a tree,
+    so every token has at most one head and no cycles — generated as a
+    random forest (each node optionally attaches to an earlier-placed node
+    of a random placement order, so heads land on either side positionally).
+    Multi-headed tokens are out of contract for both implementations and
+    genuinely diverge — pinned separately in
+    test_two_headed_compound_divergence_documented."""
     n = draw(st.integers(min_value=1, max_value=max_n))
     words = [draw(_WORD) for _ in range(n)]
     pos = [draw(_POSTAG) for _ in range(n)]
     ners = [draw(_NER) for _ in range(n)]
     deps = []
     if n > 1:
-        for _ in range(draw(st.integers(min_value=0, max_value=2 * n))):
-            g = draw(st.integers(min_value=0, max_value=n - 1))
-            d = draw(st.integers(min_value=0, max_value=n - 1))
-            if g != d:
-                deps.append((g, draw(rels), d))
+        order = draw(st.permutations(range(n)))
+        for k in range(1, n):
+            if draw(st.booleans()):
+                g = order[draw(st.integers(min_value=0, max_value=k - 1))]
+                deps.append((g, draw(rels), order[k]))
     return words, ners, pos, deps, draw(st.integers(min_value=0, max_value=n))
 
 
@@ -281,3 +288,23 @@ def test_eventuality_path_matches_port_fuzz(port, topk_map, sent):
         )
     )
     assert ours == ref, (words, pos, deps, si)
+
+
+def test_two_headed_compound_divergence_documented(port):
+    """Found by the fuzz before it was constrained to valid parses: give
+    token 2 TWO compound governors — (3, compound, 2) and (0, compound, 2) —
+    which no dependency parse can emit (a parse is a tree; CoreNLP and the
+    repo's rule parser are both single-headed).  On this degenerate input
+    the reference's segment walk (conceptualizer.py:568-636, transcribed in
+    the port) emits word 2 TWICE — once as the split-back singleton of the
+    non-contiguous (0, 2) pair and once inside the merged (3, 2) segment —
+    while the production kernel keeps every word in exactly one segment.
+    Documented divergence on out-of-contract input, not copied."""
+    words = ["aluminum"] * 5
+    deps = [(3, "compound", 2), (0, "compound", 2)]
+    assert port._dep_compound_segment(words, deps) == [
+        (0,), (1,), (2,), (3, 2), (4,)
+    ]  # reference: word 2 duplicated across segments
+    from folkscope_spark.eventuality import dep_compound_segment
+
+    assert dep_compound_segment(deps, 5) == [(0,), (1,), (3, 2), (4,)]
