@@ -256,7 +256,7 @@ def _sentence(draw, rels, max_n=8):
     return words, ners, pos, deps, draw(st.integers(min_value=0, max_value=n))
 
 
-@settings(max_examples=150, deadline=None)
+@settings(derandomize=True, max_examples=150, deadline=None)
 @given(_sentence(rels=_DREL_TEXT))
 def test_text_path_matches_port_fuzz(port, topk_map, sent):
     """Random sentences (Probase hits, fillers, NER placeholders, random
@@ -275,7 +275,7 @@ def test_text_path_matches_port_fuzz(port, topk_map, sent):
     assert ours == ref, (words, pos, deps, si)
 
 
-@settings(max_examples=150, deadline=None)
+@settings(derandomize=True, max_examples=150, deadline=None)
 @given(_sentence(rels=_DREL_EVENT))
 def test_eventuality_path_matches_port_fuzz(port, topk_map, sent):
     words, ners, pos, deps, si = sent

@@ -74,13 +74,13 @@ _TEXT = st.lists(
 ).map("".join)
 
 
-@settings(max_examples=400, deadline=None)
+@settings(derandomize=True, max_examples=400, deadline=None)
 @given(_TEXT)
 def test_clean_text_matches_reference_fuzz(text):
     assert clean_text(text) == _reference_clean(text)
 
 
-@settings(max_examples=200, deadline=None)
+@settings(derandomize=True, max_examples=200, deadline=None)
 @given(st.text(max_size=60))
 def test_clean_text_matches_reference_arbitrary_unicode(text):
     assert clean_text(text) == _reference_clean(text)
@@ -100,7 +100,7 @@ _DEP = st.tuples(
 _DEPS = st.lists(_DEP, max_size=12)
 
 
-@settings(max_examples=300, deadline=None)
+@settings(derandomize=True, max_examples=300, deadline=None)
 @given(_DEPS)
 def test_extract_indices_matches_reference(deps):
     assert extract_indices_from_dependencies(deps) == (
@@ -108,7 +108,7 @@ def test_extract_indices_matches_reference(deps):
     )
 
 
-@settings(max_examples=300, deadline=None)
+@settings(derandomize=True, max_examples=300, deadline=None)
 @given(_DEPS, st.booleans())
 def test_sort_dependencies_matches_reference(deps, reset):
     got = sort_dependencies_position(deps, reset_position=reset)
@@ -145,7 +145,7 @@ def _labeled_graph(draw, max_n):
     return vlabels, edges
 
 
-@settings(max_examples=150, deadline=None)
+@settings(derandomize=True, max_examples=150, deadline=None)
 @given(_labeled_graph(max_n=5), _labeled_graph(max_n=3))
 def test_vf2_matches_brute_force(graph, pattern):
     """Patterns reach the matcher only through ``normalize_pattern``
@@ -250,7 +250,7 @@ def _lg_patterns(draw, pos_strategy, elabel_strategy, max_patterns=4, max_n=5):
 _BASE_ELABEL = st.sampled_from(["nsubj", "obj", "compound", "amod", "nmod"])
 
 
-@settings(max_examples=200, deadline=None)
+@settings(derandomize=True, max_examples=200, deadline=None)
 @given(_lg_patterns(_NORM_POS, _BASE_ELABEL))
 def test_lg_roundtrip_identity_on_normalized(pats_freqs):
     """S7 codec property: for patterns already in normalize_pattern's image
@@ -264,7 +264,7 @@ def test_lg_roundtrip_identity_on_normalized(pats_freqs):
     ]
 
 
-@settings(max_examples=200, deadline=None)
+@settings(derandomize=True, max_examples=200, deadline=None)
 @given(_lg_patterns(_RAW_POS, _ELABEL))
 def test_lg_read_normalizes_like_normalize_pattern(pats_freqs):
     """read_lg on RAW miner output (subtype POS, ``:``-suffixed edge labels,
