@@ -277,3 +277,50 @@ def test_lg_read_normalizes_like_normalize_pattern(pats_freqs):
         (normalize_pattern(list(p[0]), list(p[1]), fuzzy=True), f)
         for p, f in zip(pats, freqs)
     ]
+
+
+# ------------------------------------------------------- split_long_text
+
+from folkscope_spark.textnorm import MAX_LEN, split_long_text  # noqa: E402
+
+_LONG_TEXT = st.lists(
+    st.one_of(
+        st.sampled_from(["\n\n", "\n", ". ", " ", "word", "x" * 40, "you buy"]),
+        st.text(max_size=12),
+    ),
+    max_size=60,
+).map("".join)
+
+
+@settings(derandomize=True, max_examples=300, deadline=None)
+@given(_LONG_TEXT, st.sampled_from([16, 40, MAX_LEN]))
+def test_split_long_text_cap_and_content(text, cap):
+    """P7/parse-guard invariant (reference utils.py:69,144-192): every
+    emitted unit fits the parser cap, no unit is empty, and no non-separator
+    content is lost — each chunk appears in the original in order (the split
+    only ever cuts at \\n/sentence/space boundaries or hard-slices)."""
+    parts = split_long_text(text, max_len=cap)
+    if len(text) <= cap:
+        # base-case passthrough, reference utils.py:159-160 — even ""
+        assert parts == [text]
+        return
+    pos = 0
+    for p in parts:
+        assert len(p) <= cap, (len(p), cap)
+        found = text.find(p, pos) if p else pos
+        assert found >= 0, (p, pos)
+        # every cut lands on \n/sentence-whitespace/space boundaries, so the
+        # only characters the split may drop are whitespace
+        assert text[pos:found].isspace() or not text[pos:found]
+        pos = found + len(p)
+    assert text[pos:].isspace() or not text[pos:]
+
+
+def test_split_long_text_empty_chunk_reference_parity():
+    """A separator at the text edge yields an empty chunk — the reference
+    does the same (utils.py:163-176: ``text.split("\\n\\n")`` produces ''
+    which the ≤max_len base case returns as-is and chain flattens in).
+    Found by the fuzz above; pinned as parity, not fixed away.  Production
+    never feeds such units (no split_long_text caller in the pipeline's hot
+    path; page text reaches parsing pre-sentence-split and stripped)."""
+    assert split_long_text("\n\n" + "0" * 15, max_len=16) == ["", "0" * 15]
