@@ -200,3 +200,50 @@ def test_match_fat_thinning_keyed_by_relation_and_eid(spark):
         assert r["pattern_sig"] is not None, r["relation"]
         assert r["pos_tags"] is not None and r["dependencies"] is not None
         assert r["skeleton_indices"] is not None
+
+
+def test_connected_components_random_graph_matches_union_find(spark):
+    """Randomized differential for the distributed CC (star-contraction +
+    pointer-halving): a seeded 220-node / 260-edge random graph vs a plain
+    union-find oracle.  Compared as PARTITIONS (not labels): the distributed
+    algorithm guarantees min-id labels per component, so labels are checked
+    against the oracle component's min too."""
+    import random
+
+    from folkscope_spark.canonicalize import connected_components
+
+    rng = random.Random(20260818)
+    nodes = ["v%03d" % i for i in range(220)]
+    rows = []
+    seen = set()
+    while len(rows) < 260:
+        a, b = rng.choice(nodes), rng.choice(nodes)
+        if a != b and (a, b) not in seen:
+            seen.add((a, b))
+            rows.append((a, b))
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in rows:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    oracle = {}
+    for a, b in rows:
+        for x in (a, b):
+            oracle.setdefault(find(x), set()).add(x)
+    want = {min(members): members for members in oracle.values()}
+
+    edges = spark.createDataFrame(rows, "id_a string, id_b string")
+    got_rows = connected_components(edges, driver_threshold=0).collect()
+    got = {}
+    for r in got_rows:
+        got.setdefault(r["comp"], set()).add(r["id"])
+    assert got == want
