@@ -501,57 +501,48 @@ def main():
     est_n16 = base_n16 * load * scale_pages / base_scale_pages + 60.0
 
     lo_runs, hi_runs = [], []
-    for i in range(2):
-        # the first (n4, n16) pair is the scaling number's existence; the
-        # second pair only tightens it — each leg is budget-gated separately
+
+    def scaling_pair(i: int) -> bool:
+        """One interleaved (n4, n16) leg pair, each leg budget-gated; updates
+        the min-of-k scaling stats and returns False on a budget skip.  The
+        first pair is the scaling number's existence; the second only
+        TIGHTENS it, so it runs last — after the stated 8->32 pairing and
+        the concept_text leg, which each measure something a repeat cannot
+        (distinct measurements outrank tightening under a budget)."""
         if not em.fits(f"scaling_n4_run{i + 1}", est_n4):
-            break
+            return False
         lo_runs.append(run_kg("local[4]", 12, scale_pages, dedupe=False))
         em.emit(f"scaling_n4_run{i + 1}")
         if not em.fits(f"scaling_n16_run{i + 1}", est_n16):
-            break
+            return False
         hi_runs.append(run_kg("local[16]", 48, scale_pages, dedupe=False))
         em.emit(f"scaling_n16_run{i + 1}")
-        if lo_runs and hi_runs:
-            (t_lo, lo_stages) = min(lo_runs, key=lambda x: x[0])
-            (t_hi, hi_stages) = min(hi_runs, key=lambda x: x[0])
-            eff = (t_lo / t_hi) / 4.0
-            kg.update(
-                {
-                    "scale_pages": scale_pages,
-                    "scale_runs_per_side": len(hi_runs),
-                    "wall_n4_s": round(t_lo, 2),
-                    "wall_n16_s": round(t_hi, 2),
-                    "docs_per_sec_n4": round(scale_pages / t_lo, 2),
-                    "docs_per_sec_n16": round(scale_pages / t_hi, 2),
-                    "scaling_efficiency": round(eff, 3),
-                    "stage_timings_n4": lo_stages,
-                    "stage_timings_n16": hi_stages,
-                }
-            )
-            if "host_cpu_ceiling_efficiency" not in kg:
-                ceiling = cpu_ceiling(4, 16) / 4.0
-                kg["host_cpu_ceiling_efficiency"] = round(ceiling, 3)
-            kg["scaling_efficiency_vs_ceiling"] = round(
-                kg["scaling_efficiency"] / kg["host_cpu_ceiling_efficiency"], 3
-            )
-            em.emit(f"scaling_pair{i + 1}")
-
-    # -- one concept_text-enabled run: the cost of defaulting the reference's
-    # whole-corpus conceptualized_text pass on (SURVEY.md §3.4 decision) ------
-    est_ct = 3.0 * t_prod * CONCEPT_TEXT_PAGES / KG_PAGES + 90.0
-    if em.fits("concept_text", est_ct):
-        t_ct, ct_stages = run_kg(
-            f"local[{CPUS}]", 3 * CPUS, CONCEPT_TEXT_PAGES, dedupe=True,
-            with_concept_text=True,
+        (t_lo, lo_stages) = min(lo_runs, key=lambda x: x[0])
+        (t_hi, hi_stages) = min(hi_runs, key=lambda x: x[0])
+        eff = (t_lo / t_hi) / 4.0
+        kg.update(
+            {
+                "scale_pages": scale_pages,
+                "scale_runs_per_side": len(hi_runs),
+                "wall_n4_s": round(t_lo, 2),
+                "wall_n16_s": round(t_hi, 2),
+                "docs_per_sec_n4": round(scale_pages / t_lo, 2),
+                "docs_per_sec_n16": round(scale_pages / t_hi, 2),
+                "scaling_efficiency": round(eff, 3),
+                "stage_timings_n4": lo_stages,
+                "stage_timings_n16": hi_stages,
+            }
         )
-        kg["concept_text_leg"] = {
-            "pages": CONCEPT_TEXT_PAGES,
-            "wall_s": round(t_ct, 2),
-            "concept_text_stage_s": ct_stages.get("concept_text_materialize"),
-            "stage_timings": ct_stages,
-        }
-        em.emit("concept_text")
+        if "host_cpu_ceiling_efficiency" not in kg:
+            ceiling = cpu_ceiling(4, 16) / 4.0
+            kg["host_cpu_ceiling_efficiency"] = round(ceiling, 3)
+        kg["scaling_efficiency_vs_ceiling"] = round(
+            kg["scaling_efficiency"] / kg["host_cpu_ceiling_efficiency"], 3
+        )
+        em.emit(f"scaling_pair{i + 1}")
+        return True
+
+    scaling_pair(0)
 
     # -- BASELINE.md's stated config (local[8] vs local[32]) ------------------
     # One interleaved leg pair + its own ceiling.  The hi leg asks for every
@@ -580,6 +571,26 @@ def main():
                 }
             )
             em.emit("scaling_n32")
+
+    # -- one concept_text-enabled run: the cost of defaulting the reference's
+    # whole-corpus conceptualized_text pass on (SURVEY.md §3.4 decision) ------
+    est_ct = 3.0 * t_prod * CONCEPT_TEXT_PAGES / KG_PAGES + 90.0
+    if em.fits("concept_text", est_ct):
+        t_ct, ct_stages = run_kg(
+            f"local[{CPUS}]", 3 * CPUS, CONCEPT_TEXT_PAGES, dedupe=True,
+            with_concept_text=True,
+        )
+        kg["concept_text_leg"] = {
+            "pages": CONCEPT_TEXT_PAGES,
+            "wall_s": round(t_ct, 2),
+            "concept_text_stage_s": ct_stages.get("concept_text_materialize"),
+            "stage_timings": ct_stages,
+        }
+        em.emit("concept_text")
+
+    # -- tightening repeat of the authoritative pairing (min-of-2) -----------
+    if lo_runs and hi_runs:
+        scaling_pair(1)
 
     return em.emit("", final=True)
 
