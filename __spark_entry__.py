@@ -32,6 +32,22 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _widen(df: DataFrame) -> DataFrame:
+    """Round-robin repartition a narrow input up to the session's default
+    parallelism.  The driver testdata ships single-row-group parquet files,
+    so a scan feeding an opaque per-row kernel (``mapInPandas``) or an
+    explode-heavy aggregation otherwise runs its map side in ONE task on a
+    many-core host (guide §2.5 input skew: "repartition immediately after
+    the read").  Scale-adaptive: inputs that already carry enough partitions
+    (any real multi-file table) pass through untouched, so no shuffle is
+    added at scale.  Results are row-wise/agg-only downstream, so
+    partitioning does not affect query output."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 # ---------------------------------------------------------------------------
 # flagship
 
@@ -437,20 +453,40 @@ def q_quality_score(spark, sf):  # quality scoring (length/stopword features)
 
 
 def q_minhash_band(spark, sf):  # MinHash signature (md5-string min per seed)
+    # One groupBy with 4 per-seed MIN aggregates replaces the seed explode
+    # (4x row blowup) + two chained groupBys of the round-5 form: the per-seed
+    # minimum is an ordinary partial-aggregating MIN, so the signature needs
+    # one exchange, not two, and the shuffle carries 1/4 the rows (guide
+    # §2.3/§2.4).  Identical output: same per-seed minima, same
+    # array_sort(["0:mh0",...]) rendering.  No _widen here: the explode +
+    # hash + partial agg fits one task's second at this dimension-sized
+    # input, and the repartition's extra exchange measured slower (A/B:
+    # 0.80s narrow vs 1.05s widened).
     d = _t(spark, sf, "documents")
     tok = d.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
     )
-    seeded = tok.select(
+    mins = tok.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.md5(F.concat_ws("\x1f", F.lit(str(s)), F.col("tok")))
+            ).alias("mh%d" % s)
+            for s in range(4)
+        ]
+    )
+    return mins.select(
         "doc_id",
-        F.explode(F.array(*[F.lit(str(s)) for s in range(4)])).alias("seed"),
-        "tok",
-    ).withColumn("h", F.md5(F.concat_ws("\x1f", "seed", "tok")))
-    return (
-        seeded.groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("mh"))
-        .groupBy("doc_id")
-        .agg(F.concat_ws("|", F.array_sort(F.collect_list(F.concat_ws(":", "seed", "mh")))).alias("signature"))
+        F.concat_ws(
+            "|",
+            F.array_sort(
+                F.array(
+                    *[
+                        F.concat_ws(":", F.lit(str(s)), F.col("mh%d" % s))
+                        for s in range(4)
+                    ]
+                )
+            ),
+        ).alias("signature"),
     )
 
 
@@ -530,26 +566,32 @@ def q_dedup_cosine(spark, sf):  # embedding-cosine near-dup pairs
 
 
 def q_simhash(spark, sf):  # SimHash-style bit signature over token hashes
+    # 16 conditional SUM aggregates in one groupBy replace the bit explode
+    # (16x row blowup) + two chained groupBys of the round-5 form — one
+    # exchange instead of two, 1/16 the shuffled rows (guide §2.3/§2.4).
+    # Identical output: per-bit vote sums and the final bit assembly are
+    # unchanged expressions.  No _widen (A/B: 0.65s narrow vs 0.80s widened
+    # — same reasoning as q_minhash_band).
     d = _t(spark, sf, "documents")
     tok = d.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
     ).withColumn("h", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long"))
-    # per-bit vote over the low 16 bits
-    bits = tok.select(
-        "doc_id",
-        F.explode(F.array(*[F.lit(b) for b in range(16)])).alias("bit"),
-        "h",
-    ).withColumn(
-        "vote", F.expr("CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END")
+    votes = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.expr("CASE WHEN (h >> %d) & 1 = 1 THEN 1 ELSE -1 END" % b)
+            ).alias("v%d" % b)
+            for b in range(16)
+        ]
     )
-    votes = bits.groupBy("doc_id", "bit").agg(F.sum("vote").alias("v"))
-    return (
-        votes.withColumn(
-            "bitval", F.expr("CASE WHEN v > 0 THEN shiftleft(1L, bit) ELSE 0L END")
-        )
-        .groupBy("doc_id")
-        .agg(F.sum("bitval").cast("long").alias("simhash16"))
-    )
+    bitvals = [
+        F.expr("CASE WHEN v%d > 0 THEN shiftleft(1L, %d) ELSE 0L END" % (b, b))
+        for b in range(16)
+    ]
+    acc = bitvals[0]
+    for bv in bitvals[1:]:
+        acc = acc + bv
+    return votes.select("doc_id", acc.cast("long").alias("simhash16"))
 
 
 def q_a6_vector_mean(spark, sf):  # A6 per-group element-wise embedding mean
@@ -663,23 +705,30 @@ def q_fs_clean_text(spark, sf):  # P6 byte-contract cleaner over documents
     import pandas as pd
 
     d = _t(spark, sf, "documents")
-    fw = F.split(F.col("text"), " ").getItem(0)
-    dirty = F.concat(
-        F.lit('née <ref name="'), fw, F.lit('"> [https://'), fw,
-        F.lit(".com](https://"), fw, F.lit(".org) "), F.col("text"),
-    )
 
+    # The dirty copy is built inside the kernel (same bytes as the former JVM
+    # concat: first space-split word w -> 'née <ref name="w"> [https://w.com]
+    # (https://w.org) ' + text), so Arrow ships one string column instead of
+    # two (guide §4.1: pass only the columns the function needs).  _widen
+    # parallelizes the single-row-group documents scan, which otherwise runs
+    # this kernel in ONE task.
     def run(batches):
         for pdf in batches:
+            texts = pdf["text"]
+            dirty = [
+                'née <ref name="%s"> [https://%s.com](https://%s.org) %s'
+                % (w, w, w, t)
+                for w, t in ((t.split(" ", 1)[0], t) for t in texts)
+            ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "cleaned": [clean_text(t) for t in pdf["dirty"]],
-                    "passthru": [clean_text(t) for t in pdf["text"]],
+                    "cleaned": [clean_text(t) for t in dirty],
+                    "passthru": [clean_text(t) for t in texts],
                 }
             )
 
-    return d.select("doc_id", "text", dirty.alias("dirty")).mapInPandas(
+    return _widen(d.select("doc_id", "text")).mapInPandas(
         run, "doc_id long, cleaned string, passthru string"
     )
 

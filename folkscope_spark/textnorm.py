@@ -66,7 +66,17 @@ def clean_text(text: str) -> str:
     (/root/reference/src/pattern/utils.py:195-214):
     non-ASCII runs -> single space, ``<ref...>`` -> ``<ref>``, URLs ->
     ``<url>``, collapse bracket-joined ``<url>`` pairs, strip.
+
+    Fast path: when no rule can fire, the rewrite chain is the identity and
+    only the final ``strip`` applies.  The gate is exact: the non-ASCII rule
+    needs a non-ASCII char; both ``<ref...>`` and the ``<url>`` pair collapse
+    need ``<``; every URL alternation needs either a ``.`` (dotted TLD forms)
+    or a ``:`` (the ``https?:`` scheme form) — so ASCII text without
+    ``<``/``.``/``:`` passes through all four regexes unchanged.  The URL
+    regex scan is ~50µs/row (measured); the gate is ~0.2µs.
     """
+    if "." not in text and text.isascii() and "<" not in text and ":" not in text:
+        return text.strip()
     text = _NON_ASCII_RE.sub(" ", text)
     text = _REF_TAG_RE.sub("<ref>", text)
     text = URL_REGEX.sub("<url>", text)
