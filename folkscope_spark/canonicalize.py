@@ -339,26 +339,75 @@ def _lsh_cc_driver(
             x = parent[x]
         return x
 
-    seen_pairs: set[tuple[int, int]] = set()
+    # candidate pairs: bucket pair expansion in numpy, batched by bucket size
+    # (one triu index template per distinct size instead of one allocation
+    # per bucket), deduped once with np.unique over packed (a * n + b) keys —
+    # the per-pair Python loop with a seen-set was the dominant driver cost
+    # (profiled ~2s / 1.1M raw pairs at 40k forms).  The verified union-find
+    # is unchanged: its min-text root invariant makes the result independent
+    # of pair order.
+    by_size: dict[int, list] = {}
     for members in band_groups():
-        if len(members) < 2 or len(members) > max_bucket:  # hot-bucket cap
+        k = len(members)
+        if k < 2 or k > max_bucket:  # hot-bucket cap
             continue
-        members = members.tolist()
-        for ai in range(len(members)):
-            for bi in range(ai + 1, len(members)):
-                a, b = members[ai], members[bi]
-                if a > b:
-                    a, b = b, a
-                if (a, b) in seen_pairs:
-                    continue
-                seen_pairs.add((a, b))
-                sa, sb = tok_sets[a], tok_sets[b]
-                union = len(sa | sb)
-                if union and len(sa & sb) / union >= jaccard_threshold:
-                    ra, rb = find(a), find(b)
-                    if ra != rb:
-                        lo, hi = (ra, rb) if texts[ra] < texts[rb] else (rb, ra)
-                        parent[hi] = lo
+        by_size.setdefault(k, []).append(np.sort(members))
+    pair_chunks = []
+    for k, groups in by_size.items():
+        mat = np.stack(groups).astype(np.int64)  # (m, k)
+        ia, ib = np.triu_indices(k, 1)
+        pair_chunks.append((mat[:, ia] * n + mat[:, ib]).ravel())
+    packed = (
+        np.unique(np.concatenate(pair_chunks))
+        if pair_chunks
+        else np.empty(0, dtype=np.int64)
+    )
+
+    def unite(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if texts[ra] < texts[rb] else (rb, ra)
+            parent[hi] = lo
+
+    # exact-Jaccard verify over the unique candidate pairs.  Near-duplicate
+    # surface forms share a small vocabulary, so when it fits a bounded bit
+    # width the token sets become rows of a uint64 bitmask matrix and the
+    # whole verify vectorizes: |A∩B| by AND + 16-bit-LUT popcount,
+    # |A∪B| = |A|+|B|-|A∩B|, one float comparison — only the few surviving
+    # pairs reach the Python union-find.  Large vocabularies keep the
+    # frozenset path; both compute the identical Jaccard ratio.
+    n_words = (len(vocab) + 63) // 64
+    if packed.size and 0 < n_words <= 64:
+        maskmat = np.zeros((n, max(n_words, 1)), dtype=np.uint64)
+        for i, s in enumerate(tok_sets):
+            row = maskmat[i]
+            for t in s:
+                j = vocab[t]
+                row[j >> 6] |= np.uint64(1) << np.uint64(j & 63)
+        sizes = np.fromiter((len(s) for s in tok_sets), dtype=np.int64, count=n)
+        lut = np.array([bin(x).count("1") for x in range(65536)], dtype=np.uint8)
+        for lo_i in range(0, packed.size, 2_000_000):  # bound temp memory
+            chunk = packed[lo_i : lo_i + 2_000_000]
+            pa = chunk // n
+            pb = chunk % n
+            andw = maskmat[pa] & maskmat[pb]
+            inter = (
+                lut[andw.view(np.uint16)]
+                .reshape(chunk.size, -1)
+                .sum(axis=1)
+                .astype(np.int64)
+            )
+            union = sizes[pa] + sizes[pb] - inter
+            ok = (union > 0) & ((inter / np.maximum(union, 1)) >= jaccard_threshold)
+            for a, b in zip(pa[ok].tolist(), pb[ok].tolist()):
+                unite(a, b)
+    else:
+        for key in packed.tolist():
+            a, b = divmod(key, n)
+            sa, sb = tok_sets[a], tok_sets[b]
+            union = len(sa | sb)
+            if union and len(sa & sb) / union >= jaccard_threshold:
+                unite(a, b)
     out = []
     for i, t in enumerate(texts):
         canon = texts[find(i)]
@@ -390,10 +439,13 @@ def canonicalize_surface_forms(
     distributed path."""
     spark = df.sparkSession
     forms = df.select(F.col(text_col).alias("text")).distinct().cache()
-    n_forms = forms.count()
-    if n_forms <= driver_threshold:
+    # one job instead of count + collect: a (threshold+1)-limited collect both
+    # sizes the form set and, when it fits, IS the form set (the cache serves
+    # the distributed path otherwise)
+    head = forms.limit(driver_threshold + 1).collect()
+    if len(head) <= driver_threshold:
         pairs = _lsh_cc_driver(
-            [r["text"] for r in forms.collect()],
+            [r["text"] for r in head],
             jaccard_threshold, n_hashes, n_bands,
         )
         return spark.createDataFrame(pairs, "text string, canonical_text string")

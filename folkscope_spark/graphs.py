@@ -38,10 +38,17 @@ Pattern = tuple[tuple[str, ...], tuple[tuple[int, str, int], ...]]
 
 
 class DiGraph:
-    """Small immutable labeled directed multigraph."""
+    """Small immutable labeled directed multigraph.
+
+    The matcher calls :func:`precheck`/:func:`get_subisomorphisms` once per
+    (sentence, pattern) pair; everything derivable from one side alone is
+    cached lazily on the instance so the per-pair work is lookups, not
+    reconstruction (the round-5 code rebuilt every Counter per call — the
+    match kernel is the hottest Python stage, guide §1.2 step 2)."""
 
     __slots__ = ("n", "vlabels", "edges", "pair_labels", "base_pair_labels",
-                 "out_adj", "in_adj", "indeg", "outdeg")
+                 "out_adj", "in_adj", "indeg", "outdeg",
+                 "_fuzzy_vl", "_base_el_set", "_deg_sigs", "_match_plan")
 
     def __init__(self, vlabels, edges):
         self.n = len(vlabels)
@@ -60,10 +67,93 @@ class DiGraph:
             self.in_adj[v].add(u)
             self.indeg[v] += 1
             self.outdeg[u] += 1
+        self._fuzzy_vl = None
+        self._base_el_set = None
+        self._deg_sigs = None
+        self._match_plan = None
 
     @property
     def ecount(self):
         return len(self.edges)
+
+    def fuzzy_vl(self) -> Counter:
+        """Counter of vertex labels with the NN*/RB*/JJ* fuzzy collapse —
+        the graph side of the precheck label-multiset test."""
+        if self._fuzzy_vl is None:
+            c = Counter()
+            for vl in self.vlabels:
+                if vl.startswith("NN"):
+                    vl = "NN"
+                elif vl.startswith("RB"):
+                    vl = "RB"
+                elif vl.startswith("JJ"):
+                    vl = "JJ"
+                c[vl] += 1
+            self._fuzzy_vl = c
+        return self._fuzzy_vl
+
+    def base_el_set(self) -> set:
+        """Set of ``:``-truncated edge labels."""
+        if self._base_el_set is None:
+            self._base_el_set = {el.split(":")[0] for _, el, _ in self.edges}
+        return self._base_el_set
+
+    def deg_sigs(self):
+        """Per-truncated-label source/target degree count lists, descending —
+        the graph side of the precheck degree-signature test.  Covers every
+        label; precheck only reads the pattern's labels, which reproduces the
+        round-5 per-call filtered construction exactly."""
+        if self._deg_sigs is None:
+            src, tgt = defaultdict(Counter), defaultdict(Counter)
+            for u, el, v in self.edges:
+                el = el.split(":")[0]
+                src[el][u] += 1
+                tgt[el][v] += 1
+            self._deg_sigs = (
+                {el: sorted(c.values(), reverse=True) for el, c in src.items()},
+                {el: sorted(c.values(), reverse=True) for el, c in tgt.items()},
+            )
+        return self._deg_sigs
+
+    def match_plan(self):
+        """Pattern-side backtracking plan (this graph used AS the pattern):
+        the deterministic match order of the round-5 code, plus, per depth,
+        the edge constraints against every earlier-ordered vertex —
+        ``(slot, fwd, bwd)`` where fwd/bwd are the ``:``-truncated pattern
+        labels for (this->earlier)/(earlier->this), or None when the pattern
+        has no such edge (induced semantics then require the mapped graph
+        pair to be edge-free)."""
+        if self._match_plan is None:
+            p = self
+            order: list[int] = []
+            seen: set[int] = set()
+            degs = [p.indeg[i] + p.outdeg[i] for i in range(p.n)]
+            while len(order) < p.n:
+                cand = [i for i in range(p.n) if i not in seen]
+                nxt = None
+                for i in cand:
+                    if any((j in seen) for j in (p.out_adj[i] | p.in_adj[i])):
+                        if nxt is None or degs[i] > degs[nxt]:
+                            nxt = i
+                order.append(nxt if nxt is not None else max(cand, key=lambda i: degs[i]))
+                seen.add(order[-1])
+            checks: list[list[tuple[int, list | None, list | None]]] = []
+            for d, pv in enumerate(order):
+                row = []
+                for slot in range(d):
+                    pu = order[slot]
+                    fwd = p.pair_labels.get((pu, pv))
+                    bwd = p.pair_labels.get((pv, pu))
+                    row.append(
+                        (
+                            slot,
+                            [el.split(":")[0] for el in fwd] if fwd else None,
+                            [el.split(":")[0] for el in bwd] if bwd else None,
+                        )
+                    )
+                checks.append(row)
+            self._match_plan = (order, checks)
+        return self._match_plan
 
 
 def graph_of(pattern: Pattern) -> DiGraph:
@@ -81,18 +171,19 @@ def _node_compat(g: DiGraph, p: DiGraph, gv: int, pv: int) -> bool:
 
 
 def precheck(g: DiGraph, p: DiGraph) -> bool:
-    """Label-multiset + degree-signature pruning (retriever lines 143-231)."""
+    """Label-multiset + degree-signature pruning (retriever lines 143-231).
+
+    Semantics identical to the per-call round-5 version; both sides' derived
+    structures are cached on the DiGraph instances (see :class:`DiGraph`),
+    so repeated (sentence x pattern) calls do lookups only.  Note the
+    preserved quirk: ``p_vl`` counts the pattern's labels raw (patterns are
+    already fuzzy-collapsed by normalization) and ``p_el`` is the pattern's
+    raw label set, while the degree signatures key on truncated labels — a
+    raw ``nmod:of`` in p_el therefore never finds a degree entry, exactly as
+    before."""
     if g.n < p.n or g.ecount < p.ecount:
         return False
-    g_vl = Counter()
-    for vl in g.vlabels:
-        if vl.startswith("NN"):
-            vl = "NN"
-        elif vl.startswith("RB"):
-            vl = "RB"
-        elif vl.startswith("JJ"):
-            vl = "JJ"
-        g_vl[vl] += 1
+    g_vl = g.fuzzy_vl()
     p_vl = Counter(p.vlabels)
     if len(g_vl) < len(p_vl):
         return False
@@ -100,30 +191,19 @@ def precheck(g: DiGraph, p: DiGraph) -> bool:
         if g_vl[label] < cnt:
             return False
 
-    g_el = {el.split(":")[0] for _, el, _ in g.edges}
     p_el = {el for _, el, _ in p.edges}
-    if len(g_el) < len(p_el):
+    if len(g.base_el_set()) < len(p_el):
         return False
 
-    p_src, p_tgt = defaultdict(Counter), defaultdict(Counter)
-    g_src, g_tgt = defaultdict(Counter), defaultdict(Counter)
-    for u, el, v in p.edges:
-        el = el.split(":")[0]
-        p_src[el][u] += 1
-        p_tgt[el][v] += 1
-    for u, el, v in g.edges:
-        el = el.split(":")[0]
-        if el not in p_el:
-            continue
-        g_src[el][u] += 1
-        g_tgt[el][v] += 1
+    p_src, p_tgt = p.deg_sigs()
+    g_src, g_tgt = g.deg_sigs()
     for el in p_el:
         for p_side, g_side in ((p_src, g_src), (p_tgt, g_tgt)):
-            if el in p_side:
-                if el not in g_side or len(p_side[el]) > len(g_side[el]):
+            ps = p_side.get(el)
+            if ps is not None:
+                gs = g_side.get(el)
+                if gs is None or len(ps) > len(gs):
                     return False
-                ps = sorted(p_side[el].values(), reverse=True)
-                gs = sorted(g_side[el].values(), reverse=True)
                 for i, c in enumerate(ps):
                     if c > gs[i]:
                         return False
@@ -140,62 +220,85 @@ def get_subisomorphisms(g: DiGraph, p: DiGraph, limit: int | None = None) -> lis
     if not precheck(g, p):
         return []
 
-    # match order: BFS-ish from highest-degree pattern vertex so each next
-    # vertex connects to the mapped frontier where possible
-    order: list[int] = []
-    seen: set[int] = set()
-    degs = [p.indeg[i] + p.outdeg[i] for i in range(p.n)]
-    while len(order) < p.n:
-        cand = [i for i in range(p.n) if i not in seen]
-        nxt = None
-        for i in cand:
-            if any((j in seen) for j in (p.out_adj[i] | p.in_adj[i])):
-                if nxt is None or degs[i] > degs[nxt]:
-                    nxt = i
-        if nxt is None:
-            nxt = max(cand, key=lambda i: degs[i])
-        order.append(nxt)
-        seen.add(nxt)
+    # match order + per-depth edge constraints are a pure function of the
+    # pattern — precompiled once per DiGraph (see DiGraph.match_plan) instead
+    # of rebuilt per (sentence, pattern) call.  Order/semantics identical to
+    # the round-5 inline version: BFS-ish from the highest-degree pattern
+    # vertex, induced matching (a mapped pair with no pattern edge must have
+    # no graph edge either).
+    order, checks = p.match_plan()
+    n_p = p.n
+    g_pair = g.base_pair_labels
+    g_vlabels = g.vlabels
+    g_indeg = g.indeg
+    p_indeg = p.indeg
+    p_vlabels = p.vlabels
 
     results: list[list[int]] = []
-    mapping: dict[int, int] = {}
+    assigned: list[int] = [0] * n_p  # by order slot
     used: set[int] = set()
 
-    def feasible(pv: int, gv: int) -> bool:
-        if not _node_compat(g, p, gv, pv):
-            return False
-        for pu in mapping:
-            gu = mapping[pu]
-            # pattern edges pu->pv / pv->pu must be present + label-compatible
-            for (a, b), (ga, gb) in (((pu, pv), (gu, gv)), ((pv, pu), (gv, gu))):
-                plabels = p.pair_labels.get((a, b))
-                glabels = g.base_pair_labels.get((ga, gb), ())
-                if plabels:
-                    for el in plabels:
-                        if el.split(":")[0] not in glabels:
-                            return False
-                else:
-                    # induced semantics (igraph VF2): no extra graph edge allowed
-                    if glabels:
-                        return False
-        return True
-
+    # per-ordered-vertex node-compat candidates are checked inline (cheap);
+    # the per-depth edge checks come from the plan
     def backtrack(depth: int):
         if limit is not None and len(results) >= limit:
             return
-        if depth == p.n:
-            results.append([mapping[i] for i in range(p.n)])
+        if depth == n_p:
+            m = [0] * n_p
+            for slot, pv in enumerate(order):
+                m[pv] = assigned[slot]
+            results.append(m)
             return
         pv = order[depth]
+        pl = p_vlabels[pv]
+        fuzzy = pl in ("NN", "RB", "JJ")
+        want_indeg = p_indeg[pv]
+        row = checks[depth]
         for gv in range(g.n):
             if gv in used:
                 continue
-            if feasible(pv, gv):
-                mapping[pv] = gv
-                used.add(gv)
-                backtrack(depth + 1)
-                used.discard(gv)
-                del mapping[pv]
+            if g_indeg[gv] < want_indeg:
+                continue
+            gl = g_vlabels[gv]
+            if (not gl.startswith(pl)) if fuzzy else (gl != pl):
+                continue
+            ok = True
+            for slot, fwd, bwd in row:
+                gu = assigned[slot]
+                glabels = g_pair.get((gu, gv))
+                if fwd is not None:
+                    if glabels is None:
+                        ok = False
+                        break
+                    for el in fwd:
+                        if el not in glabels:
+                            ok = False
+                            break
+                    if not ok:
+                        break
+                elif glabels:
+                    ok = False
+                    break
+                glabels = g_pair.get((gv, gu))
+                if bwd is not None:
+                    if glabels is None:
+                        ok = False
+                        break
+                    for el in bwd:
+                        if el not in glabels:
+                            ok = False
+                            break
+                    if not ok:
+                        break
+                elif glabels:
+                    ok = False
+                    break
+            if not ok:
+                continue
+            assigned[depth] = gv
+            used.add(gv)
+            backtrack(depth + 1)
+            used.discard(gv)
 
     backtrack(0)
     results.sort()

@@ -167,11 +167,23 @@ class _PatternCache:
 
     Keyed by identity on a *held* reference: keeping ``mined`` alive pins its
     id, so a later dict allocated at a recycled address on a reused worker
-    can never alias a stale prepared set."""
+    can never alias a stale prepared set.
+
+    Also hosts the per-worker extraction memo (reset whenever the pattern set
+    changes): ``extract_from_sentence`` is a pure function of (relation,
+    parsed content, patterns), and web-scale corpora repeat identical LLM
+    continuations heavily — in the reference-parity (no global dedupe)
+    configuration the same sentence recurs tens to hundreds of times per
+    partition, so the VF2 sweep would re-run on identical input (guide §1.2
+    step 2: don't compute things twice).  The memo is bounded; on overflow it
+    keeps serving hits and stops inserting."""
+
+    MEMO_CAP = 150_000
 
     def __init__(self):
         self.mined_ref = None
         self.value = None
+        self.memo: dict = {}
 
     def get(self, mined: dict):
         if self.mined_ref is not mined:
@@ -182,6 +194,7 @@ class _PatternCache:
                     info["hierarchy"],
                 )
             self.mined_ref, self.value = mined, prepared
+            self.memo = {}
         return self.value
 
 
@@ -201,6 +214,8 @@ def match_patterns(
 
     def run(batches):
         prepared = _cache.get(mined)
+        memo = _cache.memo
+        memo_cap = _cache.MEMO_CAP
         # eid-determined fat columns (pos_tags, dependencies, skeleton/verb
         # indices, pattern_sig) are emitted once per (relation, eid) per
         # partition and null elsewhere: at web scale an eventuality recurs
@@ -223,13 +238,23 @@ def match_patterns(
                     if rel not in prepared:
                         continue
                     patterns, hierarchy = prepared[rel]
-                    parsed_row = {
-                        "pos_tags": list(pos_tags),
-                        "lemmas": list(lemmas),
-                        "ners": list(ners),
-                        "dependencies": [(d["gov"], d["rel"], d["dep"]) for d in dep_structs],
-                    }
-                    extracted = extract_from_sentence(parsed_row, patterns, hierarchy)
+                    deps = tuple(
+                        (d["gov"], d["rel"], d["dep"]) for d in dep_structs
+                    )
+                    key = (rel, tuple(pos_tags), tuple(lemmas), tuple(ners), deps)
+                    extracted = memo.get(key)
+                    if extracted is None:
+                        parsed_row = {
+                            "pos_tags": list(pos_tags),
+                            "lemmas": list(lemmas),
+                            "ners": list(ners),
+                            "dependencies": list(deps),
+                        }
+                        extracted = extract_from_sentence(
+                            parsed_row, patterns, hierarchy
+                        )
+                        if len(memo) < memo_cap:
+                            memo[key] = extracted
                     if subset_dedupe:
                         extracted = skeleton_subset_dedupe(extracted)
                     for ev in extracted:
@@ -308,14 +333,26 @@ def merge_eventualities(events: DataFrame) -> DataFrame:
         )
         .groupBy("eid", "relation", "pos", "label")
         .agg(F.sum("frequency").alias("w"))
-        .groupBy("eid", "relation", "pos")
-        .agg(F.map_from_entries(F.collect_list(F.struct("label", "w"))).alias("m"))
+        # one groupBy to the row key instead of the round-5 (pos)-keyed
+        # intermediate + second groupBy: the (pos, label, w) triples are
+        # bounded by words-length x label-alphabet per row, and the per-pos
+        # maps are reassembled with array expressions — one exchange fewer
+        # (guide §2.4).  Output identical: every position 0.._mx appears in
+        # the exploded rows (ners arrays are dense), so the per-pos filter
+        # is never empty, matching the old _pm[p] lookup.
         .groupBy("eid", "relation")
         .agg(
-            F.map_from_entries(F.collect_list(F.struct("pos", "m"))).alias("_pm"),
+            F.collect_list(F.struct("pos", "label", "w")).alias("_plw"),
             F.max("pos").alias("_mx"),
         )
-        .withColumn("ner_counters", F.expr("transform(sequence(0, _mx), p -> _pm[p])"))
+        .withColumn(
+            "ner_counters",
+            F.expr(
+                "transform(sequence(0, _mx), p -> map_from_entries("
+                "transform(filter(_plw, x -> x.pos = p), "
+                "x -> struct(x.label, x.w))))"
+            ),
+        )
         .select("eid", "relation", "ner_counters")
     )
     return base.join(ner, ["eid", "relation"], "left")

@@ -31,6 +31,24 @@ PARSED_W = T.StructType(
     + PARSED.fields[2:]
 )
 
+# Per-worker memo for parse_sentence: a pure function of the cleaned text,
+# and web corpora repeat identical continuations heavily — in the
+# reference-parity (no global dedupe) configuration the same tail recurs
+# tens to hundreds of times per partition (guide §1.2 step 2).  Bounded; on
+# overflow it keeps serving hits and stops inserting.  Values are read-only
+# parse dicts shared across rows.
+_PARSE_MEMO: dict[str, dict] = {}
+_PARSE_MEMO_CAP = 150_000
+
+
+def _parse_cached(cleaned: str) -> dict:
+    p = _PARSE_MEMO.get(cleaned)
+    if p is None:
+        p = parse_sentence(cleaned)
+        if len(_PARSE_MEMO) < _PARSE_MEMO_CAP:
+            _PARSE_MEMO[cleaned] = p
+    return p
+
 
 def parse_assertions(
     assertions: DataFrame, dedupe: bool = True, slim: bool = False,
@@ -104,7 +122,7 @@ def parse_assertions(
                     cleaned = clean_text(tail)
                     if not cleaned:
                         continue
-                    parsed = parse_sentence(cleaned)
+                    parsed = _parse_cached(cleaned)
                     if not parsed["dependencies"]:
                         continue
                     if skip and set(parsed["tokens"]) & skip:

@@ -184,6 +184,12 @@ def count_anchored_patterns(
     has_weight = "weight" in parsed.columns
 
     def enum(batches):
+        # per-worker memo: the anchored enumeration (and its json signature
+        # rendering) is a pure function of (anchor_len, pos_tags, deps,
+        # max_extra); in the reference-parity configuration identical
+        # sentences recur heavily (guide §1.2 step 2).  Bounded like the
+        # parse/match memos.
+        memo: dict = {}
         for pdf in batches:
             rels, sigs, sizes, ws = [], [], [], []
             weights = pdf["weight"] if has_weight else [1.0] * len(pdf)
@@ -193,12 +199,22 @@ def count_anchored_patterns(
                 alen = lens.get(rel, 0)
                 if alen == 0:
                     continue
-                deps = [(d["gov"], d["rel"], d["dep"]) for d in dep_structs]
-                for pat, raw_size in enumerate_anchored(
-                    list(pos_tags), deps, alen, max_extra, with_size=True
-                ):
+                key = (alen, tuple(pos_tags),
+                       tuple((d["gov"], d["rel"], d["dep"]) for d in dep_structs))
+                hits = memo.get(key)
+                if hits is None:
+                    deps = [(d["gov"], d["rel"], d["dep"]) for d in dep_structs]
+                    hits = [
+                        (pattern_sig(pat), raw_size)
+                        for pat, raw_size in enumerate_anchored(
+                            list(pos_tags), deps, alen, max_extra, with_size=True
+                        )
+                    ]
+                    if len(memo) < 150_000:
+                        memo[key] = hits
+                for sig, raw_size in hits:
                     rels.append(rel)
-                    sigs.append(pattern_sig(pat))
+                    sigs.append(sig)
                     sizes.append(raw_size)
                     ws.append(float(w))
             yield pd.DataFrame(
