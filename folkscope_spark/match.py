@@ -17,6 +17,7 @@ only shuffle in the whole extraction path is the later ``groupBy(eid)`` merge.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
@@ -163,42 +164,70 @@ def skeleton_subset_dedupe(eventualities: list[dict]) -> list[dict]:
 
 
 class _PatternCache:
-    """Per-executor cache of DiGraph-ified broadcast patterns.
+    """Per-worker cache of DiGraph-ified broadcast patterns plus the
+    extraction memo, keyed by a content fingerprint of the mined dict.
 
-    Keyed by identity on a *held* reference: keeping ``mined`` alive pins its
-    id, so a later dict allocated at a recycled address on a reused worker
-    can never alias a stale prepared set.
+    Each Spark task deserializes its own copy of the UDF closure, so an
+    identity check on ``mined`` (the round-5 scheme) reset the cache — and
+    with it the memo — on EVERY task; a reused Python worker
+    (``spark.python.worker.reuse``, default on) then re-ran the VF2 sweep for
+    the same distinct sentences once per task instead of once per worker
+    (guide §4.5: module-level state survives task boundaries only when keyed
+    on content, not closure identity).  The fingerprint covers the full
+    pattern tuples and frequencies, so two genuinely different mined sets can
+    never alias.
 
-    Also hosts the per-worker extraction memo (reset whenever the pattern set
-    changes): ``extract_from_sentence`` is a pure function of (relation,
-    parsed content, patterns), and web-scale corpora repeat identical LLM
-    continuations heavily — in the reference-parity (no global dedupe)
-    configuration the same sentence recurs tens to hundreds of times per
-    partition, so the VF2 sweep would re-run on identical input (guide §1.2
-    step 2: don't compute things twice).  The memo is bounded; on overflow it
-    keeps serving hits and stops inserting."""
+    The memo exists because ``extract_from_sentence`` is a pure function of
+    (relation, parsed content, patterns) and web-scale corpora repeat
+    identical LLM continuations heavily — in the reference-parity (no global
+    dedupe) configuration the same sentence recurs tens to hundreds of times.
+    Bounded; on overflow it keeps serving hits and stops inserting."""
 
     MEMO_CAP = 150_000
+    MAX_SETS = 4  # distinct pattern sets kept per worker (warmup + main + slack)
 
     def __init__(self):
-        self.mined_ref = None
-        self.value = None
+        self._sets: dict = {}  # fingerprint -> (prepared, memo)
         self.memo: dict = {}
 
+    @staticmethod
+    def _fingerprint(mined: dict):
+        return tuple(
+            sorted(
+                (rel, tuple(info["patterns"]), tuple(info["freqs"]) if "freqs" in info else ())
+                for rel, info in mined.items()
+            )
+        )
+
     def get(self, mined: dict):
-        if self.mined_ref is not mined:
+        fp = self._fingerprint(mined)
+        entry = self._sets.get(fp)
+        if entry is None:
             prepared = {}
             for rel, info in mined.items():
                 prepared[rel] = (
                     [(p, graph_of(p)) for p in info["patterns"]],
                     info["hierarchy"],
                 )
-            self.mined_ref, self.value = mined, prepared
-            self.memo = {}
-        return self.value
+            if len(self._sets) >= self.MAX_SETS:
+                self._sets.pop(next(iter(self._sets)))
+            entry = self._sets[fp] = (prepared, {})
+        self.memo = entry[1]
+        return entry[0]
 
 
 _cache = _PatternCache()
+
+
+def _prepared_and_memo(mined: dict):
+    """Resolve the per-worker pattern cache THROUGH this module-level
+    function: a closure that referenced ``_cache`` directly would get the
+    object cloudpickled by value into every task (each task then sees a
+    private, empty cache and the memo never survives a task boundary);
+    a module-level function is pickled by reference, so the worker executes
+    this body against the real, process-lived module state."""
+    prepared = _cache.get(mined)
+    return prepared, _cache.memo, _cache.MEMO_CAP
 
 
 def match_patterns(
@@ -211,11 +240,21 @@ def match_patterns(
     few KB)."""
 
     has_weight = "weight" in parsed.columns
+    has_ckey = "ckey" in parsed.columns
+
+    out_cols = [
+        "eid", "sid", "relation", "pattern_sig", "words", "pos_tags",
+        "dependencies", "skeleton_indices", "verb_indices", "ners",
+        "frequency",
+    ]
 
     def run(batches):
-        prepared = _cache.get(mined)
-        memo = _cache.memo
-        memo_cap = _cache.MEMO_CAP
+        prepared, memo, memo_cap = _prepared_and_memo(mined)
+        # task-scoped content dict, unbounded: with thinned parse output
+        # (parse_assertions thin_content) a null-content row's extraction
+        # MUST be reconstructable within its own partition even when the
+        # bounded module memo stopped inserting
+        task_hits: dict = {}
         # eid-determined fat columns (pos_tags, dependencies, skeleton/verb
         # indices, pattern_sig) are emitted once per (relation, eid) per
         # partition and null elsewhere: at web scale an eventuality recurs
@@ -228,72 +267,151 @@ def match_patterns(
         fat_seen: set[tuple[str, str]] = set()
         for pdf in batches:
             with batch_timer(kernel_acc):
-                rows = []
-                weights = pdf["weight"] if has_weight else [1.0] * len(pdf)
-                for sid, rel, pos_tags, lemmas, ners, dep_structs, w in zip(
-                    pdf["sid"], pdf["relation"], pdf["pos_tags"],
-                    pdf["lemmas"], pdf["ners"], pdf["dependencies"],
-                    weights,
-                ):
+                # Two passes per batch, grouped by content key: pass 1 runs
+                # the extraction once per distinct sentence and collects each
+                # duplicate row's (sid, weight); pass 2 emits the output rows
+                # with C-level list tiling (eid-level columns repeat per
+                # duplicate; row-level columns repeat per eventuality) —
+                # per-duplicate-row Python work drops to a dict lookup + two
+                # appends.  Output rows are identical to the per-row loop,
+                # grouped order aside (all consumers are order-insensitive
+                # DataFrame ops).
+                per_key: dict = {}
+                order: list = []
+                # scalar columns as plain lists (iterating pandas Series
+                # boxes per element — measurable at parity row counts); the
+                # fat array columns are only touched on a memo miss, by index
+                sids_l = pdf["sid"].tolist()
+                rels_l = pdf["relation"].tolist()
+                weights = pdf["weight"].tolist() if has_weight else [1.0] * len(pdf)
+                ckeys = pdf["ckey"].tolist() if has_ckey else sids_l
+                pos_a = pdf["pos_tags"].to_numpy()
+                lem_a = pdf["lemmas"].to_numpy()
+                ner_a = pdf["ners"].to_numpy()
+                dep_a = pdf["dependencies"].to_numpy()
+                use_ckey = has_ckey
+                for i, ck in enumerate(ckeys):
+                    rel = rels_l[i]
                     if rel not in prepared:
                         continue
-                    patterns, hierarchy = prepared[rel]
-                    deps = tuple(
-                        (d["gov"], d["rel"], d["dep"]) for d in dep_structs
-                    )
-                    key = (rel, tuple(pos_tags), tuple(lemmas), tuple(ners), deps)
-                    extracted = memo.get(key)
-                    if extracted is None:
-                        parsed_row = {
-                            "pos_tags": list(pos_tags),
-                            "lemmas": list(lemmas),
-                            "ners": list(ners),
-                            "dependencies": list(deps),
-                        }
-                        extracted = extract_from_sentence(
-                            parsed_row, patterns, hierarchy
+                    # memo key: the JVM-computed content key when the parse
+                    # stage provides one (it determines the whole parsed
+                    # row), else the full content tuple
+                    if use_ckey:
+                        key = ck
+                    else:
+                        key = (
+                            rel, tuple(pos_a[i]), tuple(lem_a[i]), tuple(ner_a[i]),
+                            tuple((d["gov"], d["rel"], d["dep"]) for d in dep_a[i]),
                         )
-                        if len(memo) < memo_cap:
-                            memo[key] = extracted
-                    if subset_dedupe:
-                        extracted = skeleton_subset_dedupe(extracted)
-                    for ev in extracted:
-                        first_time = (rel, ev["eid"]) not in fat_seen
-                        if first_time:
-                            fat_seen.add((rel, ev["eid"]))
-                        rows.append(
-                            {
-                                "eid": ev["eid"],
-                                "sid": sid,
-                                "relation": rel,
-                                "pattern_sig": ev["pattern_sig"] if first_time else None,
-                                "words": ev["words"],
-                                "pos_tags": ev["pos_tags"] if first_time else None,
+                    e = per_key.get(key)
+                    if e is None:
+                        hit = task_hits.get(key)
+                        if hit is None:
+                            hit = memo.get(key)
+                        if hit is None:
+                            pos = pos_a[i]
+                            if pos is None:
+                                # thinned row whose fat row never reached this
+                                # task: the thin-content contract (same
+                                # partitioning producer->consumer) is broken
+                                raise RuntimeError(
+                                    "thinned parsed row with no preceding "
+                                    "content row for key %r" % (key,)
+                                )
+                            patterns, hierarchy = prepared[rel]
+                            parsed_row = {
+                                "pos_tags": list(pos),
+                                "lemmas": list(lem_a[i]),
+                                "ners": list(ner_a[i]),
                                 "dependencies": [
-                                    {"gov": g, "rel": r, "dep": d}
-                                    for g, r, d in ev["dependencies"]
-                                ]
-                                if first_time
-                                else None,
-                                "skeleton_indices": ev["skeleton_indices"] if first_time else None,
-                                "verb_indices": ev["verb_indices"] if first_time else None,
-                                "ners": ev["ners"],
-                                "frequency": float(w),
+                                    (d["gov"], d["rel"], d["dep"])
+                                    for d in dep_a[i]
+                                ],
                             }
+                            extracted = extract_from_sentence(
+                                parsed_row, patterns, hierarchy
+                            )
+                            # Arrow-ready dependency structs once per
+                            # distinct sentence, not once per duplicate row
+                            hit = [
+                                (
+                                    ev,
+                                    [
+                                        {"gov": g, "rel": r, "dep": d}
+                                        for g, r, d in ev["dependencies"]
+                                    ],
+                                )
+                                for ev in extracted
+                            ]
+                            if len(memo) < memo_cap:
+                                memo[key] = hit
+                        task_hits[key] = hit
+                        e = per_key[key] = (rel, hit, [], [])
+                        order.append(key)
+                    e[2].append(sids_l[i])
+                    e[3].append(float(weights[i]))
+
+                cols_out: dict[str, list] = {c: [] for c in out_cols}
+                for key in order:
+                    rel, hit, sids, ws = per_key[key]
+                    if subset_dedupe:
+                        kept = skeleton_subset_dedupe([ev for ev, _ in hit])
+                        kept_ids = {id(ev) for ev in kept}
+                        pairs = [p for p in hit if id(p[0]) in kept_ids]
+                    else:
+                        pairs = hit
+                    k = len(pairs)
+                    if k == 0:
+                        continue
+                    m = len(sids)
+                    eids, psig, fpos, fdep, fskel, fverb, wcol, ncol = (
+                        [], [], [], [], [], [], [], []
+                    )
+                    for ev, dep_structs_out in pairs:
+                        ft = (rel, ev["eid"]) not in fat_seen
+                        if ft:
+                            fat_seen.add((rel, ev["eid"]))
+                        eids.append(ev["eid"])
+                        psig.append(ev["pattern_sig"] if ft else None)
+                        fpos.append(ev["pos_tags"] if ft else None)
+                        fdep.append(dep_structs_out if ft else None)
+                        fskel.append(ev["skeleton_indices"] if ft else None)
+                        fverb.append(ev["verb_indices"] if ft else None)
+                        wcol.append(ev["words"])
+                        ncol.append(ev["ners"])
+                    none_tail = [None] * (k * (m - 1))
+                    cols_out["eid"].extend(eids * m)
+                    if k == 1:
+                        cols_out["sid"].extend(sids)
+                        cols_out["frequency"].extend(ws)
+                    else:
+                        cols_out["sid"].extend(
+                            np.repeat(np.asarray(sids, dtype=object), k).tolist()
                         )
-                out = pd.DataFrame(
-                    rows,
-                    columns=[
-                        "eid", "sid", "relation", "pattern_sig", "words", "pos_tags",
-                        "dependencies", "skeleton_indices", "verb_indices", "ners",
-                        "frequency",
-                    ],
-                )
+                        cols_out["frequency"].extend(
+                            np.repeat(np.asarray(ws, dtype=np.float64), k).tolist()
+                        )
+                    cols_out["relation"].extend([rel] * (k * m))
+                    cols_out["pattern_sig"].extend(psig)
+                    cols_out["pattern_sig"].extend(none_tail)
+                    cols_out["words"].extend(wcol * m)
+                    cols_out["pos_tags"].extend(fpos)
+                    cols_out["pos_tags"].extend(none_tail)
+                    cols_out["dependencies"].extend(fdep)
+                    cols_out["dependencies"].extend(none_tail)
+                    cols_out["skeleton_indices"].extend(fskel)
+                    cols_out["skeleton_indices"].extend(none_tail)
+                    cols_out["verb_indices"].extend(fverb)
+                    cols_out["verb_indices"].extend(none_tail)
+                    cols_out["ners"].extend(ncol * m)
+                out = pd.DataFrame(cols_out, columns=out_cols)
             # yield outside the timed block: suspended (Arrow) time not counted
             yield out
 
     cols = ["sid", "relation", "pos_tags", "lemmas", "ners",
-            "dependencies"] + (["weight"] if has_weight else [])
+            "dependencies"] + (["weight"] if has_weight else []) + (
+        ["ckey"] if has_ckey else [])
     return parsed.select(cols).mapInPandas(run, schema=EVENTUALITIES)
 
 

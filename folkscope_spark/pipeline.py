@@ -211,13 +211,26 @@ def run_pipeline(
         scored = score.threshold(scored, min_plausibility)
 
     # -- parsing -------------------------------------------------------------
+    # thin_content (see parse_assertions): in the one-parse-per-row
+    # configuration the parsed table's content arrays are ~98% duplicates —
+    # emit them once per key per batch and let the match/mine kernels
+    # reconstruct.  Only safe storeless (the cache preserves the producing
+    # partitioning; a committed parquet read may re-split files) and only
+    # when no consumer reads content columns relationally (length_cdf under
+    # adaptive_mining; conceptualize_text).
+    thin = (
+        out_dir is None
+        and not dedupe_parse
+        and not adaptive_mining
+        and not with_concept_text
+    )
     parsed = timed(
         "parse",
         lambda: store.stage(
             spark, "parsed", fp,
             lambda: parse.parse_assertions(
                 scored, dedupe=dedupe_parse, slim=True, skip_words=skip_words,
-                kernel_acc=kernel_timers["parse"],
+                kernel_acc=kernel_timers["parse"], thin_content=thin,
             ),
         ),
     )
@@ -409,10 +422,25 @@ def run_pipeline(
             # plausibility x concept likelihood (readme.md:48-62 analog).
             # join keyed (eid, relation): concept text depends on the
             # relation's template-prefix masking, so an eid extracted under
-            # two relations must not cross-pair
-            ev = event_triples_src.select("eid", "subj", "relation", "plausibility")
+            # two relations must not cross-pair.
+            #
+            # Both join sides are MAX-pre-aggregated to their distinct keys
+            # first (guide §2.3 "aggregate before you shuffle"): plausibility
+            # and concept score are both non-negative, so per (eid, relation)
+            # max over (ev row x concept row) pairs factorizes into
+            # max(plausibility) x max(score) — the join then carries one row
+            # per (eid, relation, subj) and (eid, relation, concept_text)
+            # instead of one per duplicated source sentence, and the final
+            # dedupe aggregates the same maxima.  Result-identical to the
+            # round-5 pairwise join (oracle-pinned by the concept-triples
+            # parity tests).
+            ev = (
+                event_triples_src.groupBy("eid", "relation", "subj")
+                .agg(F.max("plausibility").alias("plausibility"))
+            )
             return (
-                concept_rows.select("eid", "relation", "concept_text", "score")
+                concept_rows.groupBy("eid", "relation", "concept_text")
+                .agg(F.max("score").alias("score"))
                 .join(ev, ["eid", "relation"])
                 .select(
                     "subj",
