@@ -184,15 +184,36 @@ def sig_to_pattern(sig: str) -> Pattern:
 
 
 def count_anchored_patterns(
-    parsed: DataFrame, max_extra: int = 3
+    parsed: DataFrame, max_extra: int = 3, pre_dedupe: bool = False
 ) -> DataFrame:
     """parsed (D6) -> (relation, sig, size, cnt): the distributed replacement
     for gSpan transaction counting.  Map-side enumeration emits one row per
     (sentence, skeleton-pattern, pre-skeleton size); the shuffle agg is a
     plain hash aggregate with partial combine.  ``size`` is the candidate's
     node count before skeletonization — the unit of the reference's adaptive
-    per-size mining schedule (pattern_filter.py:136-153)."""
+    per-size mining schedule (pattern_filter.py:136-153).
+
+    ``pre_dedupe=True`` (for heavily duplicated one-parse-per-row inputs):
+    since the counts only ever sum ``weight`` per signature, identical
+    sentences can be weight-summed relationally BEFORE the enumeration —
+    one cheap groupBy on the content key, then the Python kernel runs once
+    per distinct sentence in the whole job instead of once per distinct
+    sentence per worker (guide §2.3 aggregate before you shuffle; the sum is
+    distributive so the result is identical).  first(ignorenulls) also
+    reconstitutes thin-content rows (parse_assertions thin_content)."""
     lens = anchor_lens()
+
+    if pre_dedupe and "ckey" in parsed.columns:
+        w = (
+            F.sum("weight") if "weight" in parsed.columns
+            else F.count("*").cast("double")
+        )
+        parsed = parsed.groupBy("ckey").agg(
+            F.first("relation").alias("relation"),
+            F.first("pos_tags", ignorenulls=True).alias("pos_tags"),
+            F.first("dependencies", ignorenulls=True).alias("dependencies"),
+            w.alias("weight"),
+        )
 
     has_weight = "weight" in parsed.columns
     has_ckey = "ckey" in parsed.columns

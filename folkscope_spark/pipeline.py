@@ -237,7 +237,12 @@ def run_pipeline(
 
     # -- pattern mining ------------------------------------------------------
     def build_pattern_counts():
-        return patterns.count_anchored_patterns(parsed, max_extra=max_extra)
+        # pre_dedupe in the duplicated parity configuration: the enumeration
+        # kernel then runs once per distinct sentence in the whole job, not
+        # once per distinct sentence per worker
+        return patterns.count_anchored_patterns(
+            parsed, max_extra=max_extra, pre_dedupe=thin
+        )
 
     pattern_counts = timed(
         "mine_count",

@@ -55,7 +55,7 @@ def test_thin_content_match_and_mine_identical(spark):
     assert thick.filter(F.col("pos_tags").isNull()).count() == 0
 
     counts_a = count_anchored_patterns(thick, max_extra=2)
-    counts_b = count_anchored_patterns(thin, max_extra=2)
+    counts_b = count_anchored_patterns(thin, max_extra=2, pre_dedupe=True)
     rows_a = {(r["relation"], r["sig"], r["size"]): r["count"] for r in counts_a.collect()}
     rows_b = {(r["relation"], r["sig"], r["size"]): r["count"] for r in counts_b.collect()}
     assert rows_a == rows_b
