@@ -230,17 +230,147 @@ def _prepared_and_memo(mined: dict):
     return prepared, _cache.memo, _cache.MEMO_CAP
 
 
+# distinct-sentence cutoff for the broadcast extraction tier: above it the
+# collected result map stops being dimension-sized and the per-worker memos
+# take over (their cost is bounded by the distinct count per worker)
+MATCH_BROADCAST_CUTOFF = 400_000
+
+
+def _collect_extractions(parsed: DataFrame, mined: dict, cutoff: int):
+    """Distinct-content extraction run once as a small distributed job and
+    returned as {ckey: [(ev, dep_structs)]} for broadcast.
+
+    The per-worker memo removes duplicate extraction *within* a worker, but
+    every worker still pays the full distinct-sentence VF2 sweep once — a
+    per-leg cost of (workers x distinct x per-call), measured at ~14s of wall
+    regardless of core count on the parity legs.  One distributed sweep over
+    the distinct content rows costs (distinct x per-call / cores) plus one
+    bounded shuffle of the content rows (thin-content parse already emits
+    only ~one content row per key per batch), and the result map is
+    dimension-sized below ``cutoff``.  Keys with empty extractions are
+    recorded explicitly so workers never re-verify them."""
+    from pyspark.sql import functions as F
+
+    distinct = (
+        parsed.filter(F.col("pos_tags").isNotNull())
+        .dropDuplicates(["ckey"])
+        .select("ckey", "relation", "pos_tags", "lemmas", "ners", "dependencies")
+        .cache()
+    )
+    try:
+        if distinct.count() > cutoff:
+            return None
+
+        def extract_rows(batches):
+            prepared, _memo, _cap = _prepared_and_memo(mined)
+            for pdf in batches:
+                rows = []
+                for ck, rel, pos_tags, lemmas, ners, dep_structs in zip(
+                    pdf["ckey"], pdf["relation"], pdf["pos_tags"],
+                    pdf["lemmas"], pdf["ners"], pdf["dependencies"],
+                ):
+                    if rel not in prepared:
+                        continue
+                    patterns, hierarchy = prepared[rel]
+                    parsed_row = {
+                        "pos_tags": list(pos_tags),
+                        "lemmas": list(lemmas),
+                        "ners": list(ners),
+                        "dependencies": [
+                            (d["gov"], d["rel"], d["dep"]) for d in dep_structs
+                        ],
+                    }
+                    extracted = extract_from_sentence(
+                        parsed_row, patterns, hierarchy
+                    )
+                    if not extracted:
+                        # marker: known-empty keys must reach the map too
+                        rows.append({"ckey": ck, "eid": None,
+                                     "pattern_sig": None, "words": None,
+                                     "pos_tags": None, "dependencies": None,
+                                     "skeleton_indices": None,
+                                     "verb_indices": None, "ners": None})
+                        continue
+                    for ev in extracted:
+                        rows.append(
+                            {
+                                "ckey": ck,
+                                "eid": ev["eid"],
+                                "pattern_sig": ev["pattern_sig"],
+                                "words": ev["words"],
+                                "pos_tags": ev["pos_tags"],
+                                "dependencies": [
+                                    {"gov": g, "rel": r, "dep": d}
+                                    for g, r, d in ev["dependencies"]
+                                ],
+                                "skeleton_indices": ev["skeleton_indices"],
+                                "verb_indices": ev["verb_indices"],
+                                "ners": ev["ners"],
+                            }
+                        )
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "ckey", "eid", "pattern_sig", "words", "pos_tags",
+                        "dependencies", "skeleton_indices", "verb_indices",
+                        "ners",
+                    ],
+                )
+
+        schema = (
+            "ckey string, eid string, pattern_sig string, "
+            "words array<string>, pos_tags array<string>, "
+            "dependencies array<struct<gov:int,rel:string,dep:int>>, "
+            "skeleton_indices array<int>, verb_indices array<int>, "
+            "ners array<string>"
+        )
+        hits: dict = {}
+        for r in distinct.mapInPandas(extract_rows, schema=schema).collect():
+            if r["eid"] is None:
+                hits.setdefault(r["ckey"], [])
+                continue
+            ev = {
+                "eid": r["eid"],
+                "pattern_sig": r["pattern_sig"],
+                "words": list(r["words"]),
+                "pos_tags": list(r["pos_tags"]),
+                "skeleton_indices": list(r["skeleton_indices"]),
+                "verb_indices": list(r["verb_indices"]),
+                "ners": list(r["ners"]),
+            }
+            dep_structs = [
+                {"gov": d["gov"], "rel": d["rel"], "dep": d["dep"]}
+                for d in r["dependencies"]
+            ]
+            hits.setdefault(r["ckey"], []).append((ev, dep_structs))
+        return hits
+    finally:
+        distinct.unpersist()
+
+
 def match_patterns(
     parsed: DataFrame, mined: dict, subset_dedupe: bool = False,
-    kernel_acc=None,
+    kernel_acc=None, precompute: str | None = None,
 ) -> DataFrame:
     """parsed (D6) -> eventualities (D8).  ``mined`` is the driver-side
     pattern dictionary from :func:`folkscope_spark.patterns.finish_patterns`;
     Spark serializes it into the UDF closure (same role as a broadcast — a
-    few KB)."""
+    few KB).
+
+    ``precompute="broadcast"``: run the distinct-content extraction first as
+    one distributed job and ship the results via ``sc.broadcast`` (see
+    :func:`_collect_extractions`) — for heavily duplicated inputs where
+    otherwise every worker runs the same VF2 sweep once.  Automatically
+    falls back to the per-worker memos past MATCH_BROADCAST_CUTOFF."""
 
     has_weight = "weight" in parsed.columns
     has_ckey = "ckey" in parsed.columns
+
+    bc_hits = None
+    if precompute == "broadcast" and has_ckey:
+        hits = _collect_extractions(parsed, mined, MATCH_BROADCAST_CUTOFF)
+        if hits is not None:
+            bc_hits = parsed.sparkSession.sparkContext.broadcast(hits)
 
     out_cols = [
         "eid", "sid", "relation", "pattern_sig", "words", "pos_tags",
@@ -250,6 +380,7 @@ def match_patterns(
 
     def run(batches):
         prepared, memo, memo_cap = _prepared_and_memo(mined)
+        bc = bc_hits.value if bc_hits is not None else None
         # task-scoped content dict, unbounded: with thinned parse output
         # (parse_assertions thin_content) a null-content row's extraction
         # MUST be reconstructable within its own partition even when the
@@ -306,7 +437,9 @@ def match_patterns(
                         )
                     e = per_key.get(key)
                     if e is None:
-                        hit = task_hits.get(key)
+                        hit = bc.get(key) if bc is not None else None
+                        if hit is None:
+                            hit = task_hits.get(key)
                         if hit is None:
                             hit = memo.get(key)
                         if hit is None:

@@ -280,11 +280,17 @@ def run_pipeline(
     # Keeping the per-sentence mapping relational (instead of collect_set of
     # sids per eid) bounds every row — a Zipf-hot eventuality's sentence list
     # never funnels into one aggregation row.
+    # in the duplicated parity configuration, run the distinct-sentence VF2
+    # sweep once as its own job and broadcast the results (see
+    # match_patterns) instead of letting every worker redo it
     matched = timed(
         "match",
         lambda: store.stage(
             spark, "matched", fp,
-            lambda: match_patterns(parsed, mined, kernel_acc=kernel_timers["match"]),
+            lambda: match_patterns(
+                parsed, mined, kernel_acc=kernel_timers["match"],
+                precompute="broadcast" if thin else None,
+            ),
         ),
     )
     events = timed(

@@ -68,7 +68,11 @@ def test_thin_content_match_and_mine_identical(spark):
     assert mined, "mining produced no patterns - fixture too small"
 
     ev_a = merge_eventualities(match_patterns(thick, mined))
-    ev_b = merge_eventualities(match_patterns(thin, mined))
+    # thin side exercises the broadcast extraction tier (the pipeline's
+    # parity configuration)
+    ev_b = merge_eventualities(
+        match_patterns(thin, mined, precompute="broadcast")
+    )
     a = {
         (r["eid"], r["relation"], r["frequency"], r["n_sentences"],
          tuple(r["words"]), r["pattern_sig"])
