@@ -63,6 +63,18 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE's coalesce floor is 1MB per partition: a dimension-sized
+        # shuffle output (e.g. the distinct pair list, ~3MB at 100k pages)
+        # collapses to 2-3 partitions and then SERIALIZES every downstream
+        # narrow op built on it — here the 21x template explosion + the
+        # generation kernel, and the deduped parse table feeding the parse
+        # kernel (measured: the generation chain's noop sink went 82s -> 10s
+        # once spread).  A 128k floor keeps small-but-expanding shuffles at
+        # the session's parallelism while leaving large shuffles to the
+        # advisory size.  Holds on a real cluster for the same reason:
+        # coalescing is byte-based and blind to downstream per-row cost
+        # (guide §2.6 idle capacity).
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "128k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "100000")
