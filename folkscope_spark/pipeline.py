@@ -435,23 +435,13 @@ def run_pipeline(
             # relation's template-prefix masking, so an eid extracted under
             # two relations must not cross-pair.
             #
-            # Both join sides are MAX-pre-aggregated to their distinct keys
-            # first (guide §2.3 "aggregate before you shuffle"): plausibility
-            # and concept score are both non-negative, so per (eid, relation)
-            # max over (ev row x concept row) pairs factorizes into
-            # max(plausibility) x max(score) — the join then carries one row
-            # per (eid, relation, subj) and (eid, relation, concept_text)
-            # instead of one per duplicated source sentence, and the final
-            # dedupe aggregates the same maxima.  Result-identical to the
-            # round-5 pairwise join (oracle-pinned by the concept-triples
-            # parity tests).
-            ev = (
-                event_triples_src.groupBy("eid", "relation", "subj")
-                .agg(F.max("plausibility").alias("plausibility"))
-            )
+            # (A MAX-pre-aggregation of both join sides was measured here and
+            # reverted: in dedupe mode the (eid, relation, subj) key is
+            # nearly unique, so the two extra exchanges cost ~2s more than
+            # the duplicate rows they removed at 100k pages.)
+            ev = event_triples_src.select("eid", "subj", "relation", "plausibility")
             return (
-                concept_rows.groupBy("eid", "relation", "concept_text")
-                .agg(F.max("score").alias("score"))
+                concept_rows.select("eid", "relation", "concept_text", "score")
                 .join(ev, ["eid", "relation"])
                 .select(
                     "subj",
