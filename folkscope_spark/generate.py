@@ -15,7 +15,7 @@ deterministic hash-seeded surrogate inside an Arrow-batched ``mapInPandas``
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, functions as F, types as T
 
 from .relations import PROMPTS, POS_TEMPLATES, RELATIONS
 from .schemas import GENERATIONS
@@ -156,6 +156,15 @@ def generate_assertions(
     if micro_batches:
         prompts = prompts.repartition(micro_batches)
 
+    # Only the key columns cross the Python boundary (guide §4.1): the
+    # surrogate derives continuations from (pair_key, relation, seq), and
+    # the ~500-byte prompt strings were crossing Arrow in BOTH directions
+    # (~1 GB each way at 100k pages) just to be re-emitted untouched.
+    # ``explode_assertions`` rebuilds the prompt deterministically in the
+    # JVM from the broadcast dimensions (the reference builds prompts from
+    # titles inside its generator process too — generation.py:170-185).
+    slim = prompts.select("item_a", "item_b", "relation", "pair_key", "key")
+
     def gen(batches):
         for pdf in batches:
             outs = [
@@ -166,17 +175,56 @@ def generate_assertions(
             pdf["output"] = outs
             yield pdf
 
-    return prompts.mapInPandas(gen, schema=GENERATIONS)
+    schema = T.StructType(
+        [f for f in GENERATIONS.fields if f.name != "prompt"]
+    )
+    return slim.mapInPandas(gen, schema=schema)
 
 
-def explode_assertions(gens: DataFrame, templates: DataFrame) -> DataFrame:
+def explode_assertions(
+    gens: DataFrame, templates: DataFrame, items: DataFrame | None = None
+) -> DataFrame:
     """One row per continuation, with the mining-form sentence.
 
     ``assertion`` = full prompt + continuation; ``tail`` = the suffix from the
     mining anchor onward — the prefix-strip P2
     (generation_parser.py:131-138): locate the anchor inside the assertion and
     keep the rest; ``open`` keeps everything after ``"because "``.
+
+    When ``gens`` carries no ``prompt`` column (the slim generation path),
+    the prompt is rebuilt here in the JVM via broadcast joins on the items
+    dimension + the template table — byte-identical to the string
+    ``build_prompts`` filtered on, since both are the same deterministic
+    concat over the same dimension rows.
     """
+    if "prompt" not in gens.columns:
+        if items is None:
+            raise ValueError("slim gens need the items dimension to rebuild prompts")
+        a = items.select(
+            F.col("asin").alias("item_a"), F.col("title").alias("title_a")
+        )
+        b = items.select(
+            F.col("asin").alias("item_b"), F.col("title").alias("title_b")
+        )
+        gens = (
+            gens.join(F.broadcast(a), "item_a")
+            .join(F.broadcast(b), "item_b")
+            .join(
+                F.broadcast(templates.select("relation", "prompt_suffix")),
+                "relation",
+            )
+            .withColumn(
+                "prompt",
+                F.concat(
+                    F.lit('He bought a product of "'),
+                    F.col("title_a"),
+                    F.lit('" and a product of "'),
+                    F.col("title_b"),
+                    F.lit('" '),
+                    F.col("prompt_suffix"),
+                ),
+            )
+        )
     out = (
         gens.select(
             "item_a", "item_b", "relation", "pair_key", "prompt",

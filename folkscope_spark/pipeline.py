@@ -165,7 +165,7 @@ def run_pipeline(
             gens = generate.generate_assertions(
                 prompts, micro_batches=micro_batches, dense_tails=dense_tails
             )
-            return generate.explode_assertions(gens, templates)
+            return generate.explode_assertions(gens, templates, items)
         # keep only reusable rows still requested by this run, anti-join the
         # rest; the counters prove zero prompts were regenerated
         reused = prev.join(
@@ -182,6 +182,7 @@ def run_pipeline(
                 todo, micro_batches=micro_batches, dense_tails=dense_tails
             ),
             templates,
+            items,
         )
         return reused.select(*fresh.columns).unionByName(fresh)
 

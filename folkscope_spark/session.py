@@ -34,6 +34,7 @@ def _prewarm(spark: SparkSession) -> None:
 
     try:
         spark.range(64).groupBy((F.col("id") % 8).alias("k")).count().collect()
+        spark.range(64).join(F.broadcast(spark.range(8)), "id").count()
 
         def _ident(batches):
             yield from batches
@@ -41,6 +42,19 @@ def _prewarm(spark: SparkSession) -> None:
         spark.range(
             64, numPartitions=spark.sparkContext.defaultParallelism
         ).mapInPandas(_ident, "id long").count()
+
+        # parquet reader/writer class-loading + codegen (~1s in a fresh
+        # JVM, otherwise charged to the first real scan); 16 rows in /tmp,
+        # removed afterwards — init, not data
+        import shutil
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="spark_prewarm_")
+        try:
+            spark.range(16).write.mode("overwrite").parquet(d + "/t")
+            spark.read.parquet(d + "/t").count()
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
     except Exception:
         pass
 

@@ -30,7 +30,7 @@ def _chain(spark, thin: bool, n_pages=150, n_items=40):
         generate.pairs_from_pages(pages), items, templates
     )
     assertions = generate.explode_assertions(
-        generate.generate_assertions(prompts), templates
+        generate.generate_assertions(prompts), templates, items
     )
     scored = score.score_assertions(assertions).select(
         "item_a", "item_b", "relation", "seq_no", "tail", "plausibility",
