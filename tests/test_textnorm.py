@@ -63,6 +63,13 @@ ADVERSARIAL = [
     "   ",
     "<url>[]<url> already-collapsed pair",
     "tab\tand\nnewline survive (ascii)",
+    # round-6 fast-path gate boundaries: each char that bypasses the gate
+    # without actually firing a rule must still produce identical output
+    "a colon alone: like this fires no rule",
+    "a dot alone. ends a sentence but is no tld",
+    "a stray < less-than with no ref tag",
+    "ftp:notaurl but has the colon gate char",
+    "v1.2 versions and file.txt names stay",
 ]
 
 
